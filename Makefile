@@ -1,0 +1,51 @@
+# Build helpers: golden-oracle binaries (test-only, link /root/reference)
+# and the native C++ runtime library.
+
+REF := /root/reference
+BUILD := build
+NATIVE := native
+CFLAGS := -O2 -D_7ZIP_ST -DTRUE=1 -DFALSE=0
+CXXFLAGS := -O2 -std=c++17 -fPIC -Wall
+
+ORACLE_BINS := $(BUILD)/oracle_lzma $(BUILD)/oracle_driver $(BUILD)/oracle_7z
+
+.PHONY: all oracle native clean test
+
+all: oracle native
+
+oracle: $(ORACLE_BINS)
+
+$(BUILD)/oracle_shims.c:
+	@mkdir -p $(BUILD)
+	@printf '/* Linux link shims for the Win32-only fork file APIs (test-only) */\n#include <stddef.h>\ntypedef struct CSzFile CSzFile;\ntypedef unsigned short WCHAR;\nint OutFile_OpenW(CSzFile *p, const WCHAR *n, int t){(void)p;(void)n;(void)t;return 1;}\nint InFile_OpenW(CSzFile *p, const WCHAR *n, int t){(void)p;(void)n;(void)t;return 1;}\n' > $@
+
+$(BUILD)/oracle_lzma: $(BUILD)/oracle_shims.c
+	gcc $(CFLAGS) -o $@ $(REF)/LzmaUtil.c $(REF)/LzmaDec.c $(REF)/LzmaEnc.c \
+	  $(REF)/LzFind.c $(REF)/Alloc.c $(REF)/7zFile.c $(REF)/7zStream.c \
+	  $(BUILD)/oracle_shims.c
+
+$(BUILD)/oracle_driver: tools/oracle_driver.c
+	@mkdir -p $(BUILD)
+	gcc $(CFLAGS) -I$(REF) -o $@ tools/oracle_driver.c $(REF)/LzmaDec.c \
+	  $(REF)/LzmaEnc.c $(REF)/LzFind.c $(REF)/Alloc.c $(REF)/Lzma2Enc.c \
+	  $(REF)/Lzma2Dec.c $(REF)/XzEnc.c $(REF)/Xz.c $(REF)/7zCrc.c \
+	  $(REF)/7zCrcOpt.c $(REF)/Sha256.c $(REF)/XzCrc64.c $(REF)/Lzma86Enc.c \
+	  $(REF)/Lzma86Dec.c $(REF)/Bra86.c $(REF)/CpuArch.c
+
+$(BUILD)/oracle_7z: $(BUILD)/oracle_shims.c
+	gcc $(CFLAGS) -o $@ $(REF)/7zMain.c $(REF)/7zIn.c $(REF)/7zDec.c \
+	  $(REF)/7zAlloc.c $(REF)/7zBuf.c $(REF)/7zBuf2.c $(REF)/7zCrc.c \
+	  $(REF)/7zCrcOpt.c $(REF)/CpuArch.c $(REF)/LzmaDec.c $(REF)/Lzma2Dec.c \
+	  $(REF)/Bra.c $(REF)/Bra86.c $(REF)/BraIA64.c $(REF)/Bcj2.c \
+	  $(REF)/7zFile.c $(REF)/7zStream.c $(REF)/Alloc.c $(BUILD)/oracle_shims.c
+
+native: $(NATIVE)/liblzt_native.so
+
+$(NATIVE)/liblzt_native.so: $(wildcard $(NATIVE)/*.cc $(NATIVE)/*.h)
+	$(MAKE) -C $(NATIVE)
+
+test:
+	python -m pytest tests/ -x -q
+
+clean:
+	rm -rf $(BUILD) $(NATIVE)/liblzt_native.so $(NATIVE)/*.o

@@ -1,0 +1,59 @@
+"""Zlib-like one-call public API.
+
+The reference exposes this as ``LzmaCompress``/``LzmaUncompress``
+(``LzmaLib.h:98-129``): flat-buffer one-call compression with the 5 props
+bytes carried out-of-band.  Here the same shape, plus LZMA2 one-calls whose
+chunked output is the framework's data-parallel unit.
+"""
+
+from __future__ import annotations
+
+from .models.lzma.spec import LzmaProps
+
+
+def compress(data: bytes, *, level: int = 5, dict_size: int | None = None,
+             lc: int = 3, lp: int = 0, pb: int = 2,
+             engine: str = "auto") -> tuple[bytes, bytes]:
+    """Compress to raw LZMA. Returns ``(stream, props_bytes)``.
+
+    Mirrors ``LzmaCompress`` (``LzmaLib.h:98-112``): props travel out-of-band.
+    """
+    if dict_size is None:
+        dict_size = default_dict_size(level)
+    props = LzmaProps(lc=lc, lp=lp, pb=pb, dict_size=dict_size)
+    from .engine import lzma_raw_encode
+    return lzma_raw_encode(data, props, engine=engine), props.to_bytes()
+
+
+def uncompress(stream: bytes, props_bytes: bytes, unpack_size: int,
+               *, engine: str = "auto") -> bytes:
+    """Decompress raw LZMA (``LzmaUncompress``, ``LzmaLib.h:114-129``)."""
+    from .engine import lzma_raw_decode
+    return lzma_raw_decode(stream, LzmaProps.from_bytes(props_bytes),
+                           unpack_size, engine=engine)
+
+
+def lzma2_compress(data: bytes, *, level: int = 5,
+                   dict_size: int | None = None,
+                   chunk_size: int | None = None,
+                   engine: str = "auto") -> tuple[bytes, int]:
+    """Compress to a raw LZMA2 stream. Returns ``(stream, dict_prop_byte)``."""
+    from .models.lzma2 import framing
+    if dict_size is None:
+        dict_size = default_dict_size(level)
+    return framing.encode(data, dict_size=dict_size, chunk_size=chunk_size,
+                          engine=engine)
+
+
+def lzma2_uncompress(stream: bytes, dict_prop: int, *,
+                     engine: str = "auto") -> bytes:
+    """Decompress a raw LZMA2 stream."""
+    from .models.lzma2 import framing
+    return framing.decode(stream, dict_prop, engine=engine)
+
+
+def default_dict_size(level: int) -> int:
+    """Level→dictSize table of the reference (``LzmaLib.h:44-52``)."""
+    table = {0: 1 << 14, 1: 1 << 16, 2: 1 << 18, 3: 1 << 20,
+             4: 1 << 22, 5: 1 << 24, 6: 1 << 25}
+    return table.get(level, 1 << 26)

@@ -1,0 +1,111 @@
+"""ctypes bindings to the native C++ runtime (liblzt_native.so).
+
+The reference's entire runtime is native C; here the host-side scalar codec,
+chunk scanner, checksums, and streaming I/O helpers live in ``native/`` and
+are loaded via ctypes.  Falls back gracefully (``available() == False``) when
+the library has not been built — the pure-Python reference implementation is
+used instead.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+
+from .models.lzma.spec import LzmaProps
+from .utils.errors import raise_for_sres
+
+_LIB = None
+_TRIED = False
+
+
+def _lib_path() -> str:
+    return os.path.join(os.path.dirname(__file__), "..", "native",
+                        "liblzt_native.so")
+
+
+def _load():
+    global _LIB, _TRIED
+    if not _TRIED:
+        _TRIED = True
+        path = os.path.abspath(_lib_path())
+        if os.path.exists(path):
+            lib = ctypes.CDLL(path)
+            _bind(lib)
+            _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _bind(lib: ctypes.CDLL) -> None:
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.lzt_lzma_decode.restype = ctypes.c_int
+    lib.lzt_lzma_decode.argtypes = [
+        u8p, ctypes.c_size_t,            # src
+        u8p, ctypes.POINTER(ctypes.c_size_t),  # dst, inout dst_len
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,  # lc lp pb dict
+        ctypes.c_int,                    # has_size (else end-marker mode)
+    ]
+    lib.lzt_lzma_encode.restype = ctypes.c_int
+    lib.lzt_lzma_encode.argtypes = [
+        u8p, ctypes.c_size_t,
+        u8p, ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+        ctypes.c_int,                    # write_end_mark
+        ctypes.c_int,                    # effort level
+    ]
+    lib.lzt_crc32.restype = ctypes.c_uint32
+    lib.lzt_crc32.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
+    lib.lzt_crc64.restype = ctypes.c_uint64
+    lib.lzt_crc64.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint64]
+
+
+def _as_u8p(b) -> "ctypes.POINTER(ctypes.c_uint8)":
+    return ctypes.cast(ctypes.c_char_p(bytes(b) if not isinstance(b, (bytes, bytearray)) else b),
+                       ctypes.POINTER(ctypes.c_uint8))
+
+
+def lzma_decode(src: bytes, props: LzmaProps, unpack_size: int | None) -> bytes:
+    lib = _load()
+    cap = unpack_size if unpack_size is not None else max(1 << 16, len(src) * 64)
+    while True:
+        dst = ctypes.create_string_buffer(cap)
+        n = ctypes.c_size_t(cap)
+        r = lib.lzt_lzma_decode(
+            _as_u8p(src), len(src),
+            ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), ctypes.byref(n),
+            props.lc, props.lp, props.pb, props.dict_size,
+            1 if unpack_size is not None else 0)
+        if r == 7 and unpack_size is None:  # output cap too small: grow
+            cap *= 4
+            continue
+        raise_for_sres(r)
+        return dst.raw[:n.value]
+
+
+def lzma_encode(data: bytes, props: LzmaProps, write_end_mark: bool = False,
+                effort: int = 9) -> bytes:
+    lib = _load()
+    cap = len(data) + len(data) // 2 + 4096
+    dst = ctypes.create_string_buffer(cap)
+    n = ctypes.c_size_t(cap)
+    r = lib.lzt_lzma_encode(
+        _as_u8p(data), len(data),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), ctypes.byref(n),
+        props.lc, props.lp, props.pb, props.dict_size,
+        1 if write_end_mark else 0, effort)
+    raise_for_sres(r)
+    return dst.raw[:n.value]
+
+
+def crc32(data: bytes, value: int = 0) -> int:
+    lib = _load()
+    return lib.lzt_crc32(_as_u8p(data), len(data), value)
+
+
+def crc64(data: bytes, value: int = 0) -> int:
+    lib = _load()
+    return lib.lzt_crc64(_as_u8p(data), len(data), value)

@@ -1,0 +1,45 @@
+"""Test configuration.
+
+Multi-chip sharding is tested on a virtual 8-device CPU mesh (the driver
+separately dry-runs the multichip path); set platform env BEFORE jax import.
+"""
+
+import os
+import subprocess
+import sys
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def oracle():
+    """Build (once) and expose the reference-SDK oracle binaries.
+
+    Returns a dict of binary paths, or skips oracle-dependent tests when the
+    reference tree is unavailable.
+    """
+    ref = "/root/reference"
+    build = os.path.join(REPO, "build")
+    if not os.path.isdir(ref):
+        pytest.skip("reference SDK not available")
+    os.makedirs(build, exist_ok=True)
+    bins = {name: os.path.join(build, name)
+            for name in ("oracle_lzma", "oracle_driver", "oracle_7z")}
+    if not all(os.path.exists(p) for p in bins.values()):
+        subprocess.run(["make", "-C", REPO, "oracle"], check=True,
+                       capture_output=True)
+    return bins
+
+
+@pytest.fixture(scope="session")
+def corpus():
+    from tests.corpus import make_corpus
+    return make_corpus()

@@ -1,0 +1,177 @@
+/* oracle_driver.c — TEST-ONLY golden-oracle CLI linking the reference LZMA SDK
+ * (/root/reference, built with -D_7ZIP_ST). Used by the test suite to produce
+ * and verify golden fixtures. This file is NOT part of the framework runtime.
+ *
+ * Commands:
+ *   lzma2e  <dictSize> <in> <out>   raw LZMA2 encode; prints dict prop byte to stderr;
+ *                                   writes 1-byte dictprop header + stream
+ *   lzma2d  <in> <out>              raw LZMA2 decode (1-byte dictprop header)
+ *   xze     <in> <out>              .xz encode (LZMA2, CRC32 check)
+ *   lzma86e <in> <out>              .lzma86 encode (auto filter)
+ *   lzma86d <in> <out>              .lzma86 decode
+ *   lzmae   <lc> <lp> <pb> <dict> <in> <out>   raw .lzma encode w/ explicit props
+ */
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#include "Types.h"
+#include "Alloc.h"
+#include "Lzma2Enc.h"
+#include "Lzma2Dec.h"
+#include "LzmaEnc.h"
+#include "XzEnc.h"
+#include "Lzma86.h"
+#include "7zFile.h"
+#include "7zCrc.h"
+
+static void *OAlloc(void *p, size_t size) { (void)p; return malloc(size); }
+static void OFree(void *p, void *addr) { (void)p; free(addr); }
+static ISzAlloc g_alloc = { OAlloc, OFree };
+
+static Byte *read_file(const char *path, size_t *n) {
+  FILE *f = fopen(path, "rb");
+  if (!f) { perror(path); exit(2); }
+  fseek(f, 0, SEEK_END); long sz = ftell(f); fseek(f, 0, SEEK_SET);
+  Byte *buf = malloc(sz ? sz : 1);
+  if (fread(buf, 1, sz, f) != (size_t)sz) { perror("read"); exit(2); }
+  fclose(f); *n = sz; return buf;
+}
+static void write_file(const char *path, const Byte *buf, size_t n) {
+  FILE *f = fopen(path, "wb");
+  if (!f) { perror(path); exit(2); }
+  fwrite(buf, 1, n, f); fclose(f);
+}
+
+/* in-memory seq streams */
+typedef struct { ISeqInStream s; const Byte *buf; size_t pos, size; } MemIn;
+static SRes MemIn_Read(void *pp, void *data, size_t *size) {
+  MemIn *p = (MemIn *)pp;
+  size_t rem = p->size - p->pos;
+  if (*size > rem) *size = rem;
+  memcpy(data, p->buf + p->pos, *size);
+  p->pos += *size;
+  return SZ_OK;
+}
+typedef struct { ISeqOutStream s; Byte *buf; size_t pos, cap; } MemOut;
+static size_t MemOut_Write(void *pp, const void *data, size_t size) {
+  MemOut *p = (MemOut *)pp;
+  if (p->pos + size > p->cap) {
+    while (p->pos + size > p->cap) p->cap *= 2;
+    p->buf = realloc(p->buf, p->cap);
+  }
+  memcpy(p->buf + p->pos, data, size);
+  p->pos += size;
+  return size;
+}
+
+static int cmd_lzma2e(UInt32 dictSize, const char *inp, const char *outp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  CLzma2EncHandle h = Lzma2Enc_Create(&g_alloc, &g_alloc);
+  CLzma2EncProps props; Lzma2EncProps_Init(&props);
+  props.lzmaProps.dictSize = dictSize;
+  props.lzmaProps.level = 9;
+  if (Lzma2Enc_SetProps(h, &props) != SZ_OK) return 3;
+  Byte dictProp = Lzma2Enc_WriteProperties(h);
+  MemIn mi = { { MemIn_Read }, data, 0, n };
+  MemOut mo = { { MemOut_Write }, malloc(1 << 16), 0, 1 << 16 };
+  MemOut_Write(&mo, &dictProp, 1);
+  SRes r = Lzma2Enc_Encode(h, &mo.s, &mi.s, NULL);
+  if (r != SZ_OK) { fprintf(stderr, "enc fail %d\n", r); return 3; }
+  write_file(outp, mo.buf, mo.pos);
+  fprintf(stderr, "dictprop=%d\n", dictProp);
+  Lzma2Enc_Destroy(h);
+  return 0;
+}
+
+static int cmd_lzma2d(const char *inp, const char *outp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  if (n < 1) return 3;
+  Byte prop = data[0];
+  /* step API (the one-call Lzma2Decode skips Lzma2Dec_Init in this SDK) */
+  SizeT destLen = 256u << 20, srcLen = n - 1;
+  Byte *dest = malloc(destLen);
+  ELzmaStatus status;
+  CLzma2Dec dec;
+  Lzma2Dec_Construct(&dec);
+  if (Lzma2Dec_AllocateProbs(&dec, prop, &g_alloc) != SZ_OK) return 3;
+  Lzma2Dec_Init(&dec);
+  dec.decoder.dic = dest;
+  dec.decoder.dicBufSize = destLen;
+  SRes r = Lzma2Dec_DecodeToDic(&dec, destLen, data + 1, &srcLen,
+                                LZMA_FINISH_END, &status);
+  destLen = dec.decoder.dicPos;
+  if (r != SZ_OK || (status != LZMA_STATUS_FINISHED_WITH_MARK)) {
+    fprintf(stderr, "dec fail %d status=%d\n", r, status); if (r) return 3;
+  }
+  write_file(outp, dest, destLen);
+  return 0;
+}
+
+static int cmd_xze(const char *inp, const char *outp) {
+  CrcGenerateTable();
+  size_t n; Byte *data = read_file(inp, &n);
+  CLzma2EncProps props; Lzma2EncProps_Init(&props);
+  props.lzmaProps.level = 9;
+  MemIn mi = { { MemIn_Read }, data, 0, n };
+  MemOut mo = { { MemOut_Write }, malloc(1 << 16), 0, 1 << 16 };
+  SRes r = Xz_Encode(&mo.s, &mi.s, &props, False, NULL);
+  if (r != SZ_OK) { fprintf(stderr, "xz enc fail %d\n", r); return 3; }
+  write_file(outp, mo.buf, mo.pos);
+  return 0;
+}
+
+static int cmd_lzma86e(const char *inp, const char *outp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  size_t destLen = n + n / 3 + 4096 + LZMA86_HEADER_SIZE;
+  Byte *dest = malloc(destLen);
+  int r = Lzma86_Encode(dest, &destLen, data, n, 9, 1 << 24, SZ_FILTER_AUTO);
+  if (r != SZ_OK) { fprintf(stderr, "86 enc fail %d\n", r); return 3; }
+  write_file(outp, dest, destLen);
+  return 0;
+}
+
+static int cmd_lzma86d(const char *inp, const char *outp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  UInt64 outSize64;
+  if (Lzma86_GetUnpackSize(data, n, &outSize64) != SZ_OK) return 3;
+  SizeT destLen = (SizeT)outSize64, srcLen = n;
+  Byte *dest = malloc(destLen ? destLen : 1);
+  int r = Lzma86_Decode(dest, &destLen, data, &srcLen);
+  if (r != SZ_OK) { fprintf(stderr, "86 dec fail %d\n", r); return 3; }
+  write_file(outp, dest, destLen);
+  return 0;
+}
+
+static int cmd_lzmae(int lc, int lp, int pb, UInt32 dict,
+                     const char *inp, const char *outp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  CLzmaEncProps props; LzmaEncProps_Init(&props);
+  props.level = 9; props.lc = lc; props.lp = lp; props.pb = pb; props.dictSize = dict;
+  size_t destLen = n + n / 3 + 4096;
+  Byte *dest = malloc(destLen + 13);
+  Byte header[5]; size_t headerSize = 5;
+  SizeT outLen = destLen;
+  int r = LzmaEncode(dest + 13, &outLen, data, n, &props, header, &headerSize,
+                     0 /* writeEndMark */, NULL, &g_alloc, &g_alloc);
+  if (r != SZ_OK) { fprintf(stderr, "enc fail %d\n", r); return 3; }
+  memcpy(dest, header, 5);
+  for (int i = 0; i < 8; i++) dest[5 + i] = (Byte)((UInt64)n >> (8 * i));
+  write_file(outp, dest, outLen + 13);
+  return 0;
+}
+
+int main(int argc, char **argv) {
+  if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 1; }
+  if (!strcmp(argv[1], "lzma2e") && argc == 5)
+    return cmd_lzma2e((UInt32)strtoul(argv[2], 0, 0), argv[3], argv[4]);
+  if (!strcmp(argv[1], "lzma2d") && argc == 4) return cmd_lzma2d(argv[2], argv[3]);
+  if (!strcmp(argv[1], "xze") && argc == 4) return cmd_xze(argv[2], argv[3]);
+  if (!strcmp(argv[1], "lzma86e") && argc == 4) return cmd_lzma86e(argv[2], argv[3]);
+  if (!strcmp(argv[1], "lzma86d") && argc == 4) return cmd_lzma86d(argv[2], argv[3]);
+  if (!strcmp(argv[1], "lzmae") && argc == 8)
+    return cmd_lzmae(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
+                     (UInt32)strtoul(argv[5], 0, 0), argv[6], argv[7]);
+  fprintf(stderr, "bad args\n");
+  return 1;
+}
