@@ -273,6 +273,13 @@ class LzmaDecoder:
         self.reps = [rep0, rep1, rep2, rep3]
         if end_mark and not rc.finished_cleanly:
             raise DataError("range coder not zero at end marker")
+        # trailing renormalize (reference LzmaDec.c:412): consumes the byte
+        # mirroring the encoder's post-final-symbol shift, so chunk input
+        # consumption is exact
+        if rc.range < _TOP and rc.pos < rc.limit:
+            rc.range = (rc.range << 8) & _MASK32
+            rc.code = ((rc.code << 8) | rc.src[rc.pos]) & _MASK32
+            rc.pos += 1
         return rc.pos, end_mark
 
 

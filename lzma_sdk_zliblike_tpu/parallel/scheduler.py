@@ -1,0 +1,127 @@
+"""Chunk scheduler: maps LZMA2 streams onto batched decoder lanes.
+
+The reference's MtCoder splits work into blocks compressed by a ring of
+threads with token-passing for ordered output (``MtCoder.c:185-224``).  The
+TPU equivalent: dict-reset *groups* are gathered into fixed-shape batches,
+every lane decodes its group's chunk ``j`` in lockstep on device, and the
+ordered "write token ring" becomes a deterministic host-side concat keyed by
+group index.
+
+Eligibility: a group runs on-device when all its chunks are LZMA chunks
+sharing the batch's (lc, lp, pb) and it fits the batch's static shapes.
+Copy-only groups are plain memcpy.  Anything else (mixed copy/LZMA groups —
+rare) falls back to the scalar engine, chunk-exact.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..models.lzma2 import framing
+from ..models.lzma.spec import num_probs
+from ..utils.errors import DataError
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchShape:
+    """Static shapes for one compiled decode kernel."""
+
+    n_lanes: int = 256
+    pack_cap: int = 1 << 16          # per-chunk packed bytes (64 KB max)
+    dic_cap: int = 1 << 18           # per-group unpacked bytes
+    lc: int = 3
+    lp: int = 0
+    pb: int = 2
+
+
+class BatchedLzma2Decoder:
+    """Decodes LZMA2 streams via the lane-parallel device kernel."""
+
+    def __init__(self, shape: BatchShape = BatchShape()):
+        self.shape = shape
+
+    # -- group eligibility --------------------------------------------------
+    def _eligible(self, group: list[framing.Chunk]) -> bool:
+        s = self.shape
+        unpack = sum(c.unpack_size for c in group)
+        if unpack > s.dic_cap:
+            return False
+        for c in group:
+            if not c.is_lzma:
+                return False
+            if c.pack_size > s.pack_cap:
+                return False
+            if c.props is not None and (c.props.lc, c.props.lp, c.props.pb) != (s.lc, s.lp, s.pb):
+                return False
+        return True
+
+    def decode(self, stream: bytes, dict_prop: int) -> bytes:
+        framing.decode_dict_prop(dict_prop)  # validate
+        chunks, _ = framing.scan(stream)
+        groups = framing.split_groups(chunks)
+        return b"".join(self.decode_groups(stream, groups))
+
+    def decode_groups(self, stream: bytes,
+                      groups: list[list[framing.Chunk]]) -> list[bytes]:
+        """Decode dict-reset groups, preserving order (ordered gather)."""
+        results: list[bytes | None] = [None] * len(groups)
+        device_idx: list[int] = []
+        for gi, g in enumerate(groups):
+            if all(not c.is_lzma for c in g):
+                results[gi] = b"".join(
+                    stream[c.data_off:c.data_off + c.pack_size] for c in g)
+            elif self._eligible(g):
+                device_idx.append(gi)
+            else:
+                results[gi] = framing.decode_chunks(stream, g)
+        # batch the device-eligible groups
+        s = self.shape
+        for base in range(0, len(device_idx), s.n_lanes):
+            lane_groups = device_idx[base:base + s.n_lanes]
+            outs = self._decode_batch(stream, [groups[i] for i in lane_groups])
+            for gi, data in zip(lane_groups, outs):
+                results[gi] = data
+        return results  # type: ignore[return-value]
+
+    def _decode_batch(self, stream: bytes,
+                      lane_groups: list[list[framing.Chunk]]) -> list[bytes]:
+        import jax.numpy as jnp
+        from ..ops import batched_decode as B
+
+        s = self.shape
+        n = s.n_lanes
+        max_chunks = max(len(g) for g in lane_groups)
+        lane = B.init_lane_state(n, num_probs(s.lc, s.lp), s.dic_cap)
+        npz = np.zeros
+        all_ok = True
+        for j in range(max_chunks):
+            src = npz((n, s.pack_cap), np.uint8)
+            pack_len = npz((n,), np.int32)
+            unpack_len = npz((n,), np.int32)
+            reset = npz((n,), bool)
+            active = npz((n,), bool)
+            for li, g in enumerate(lane_groups):
+                if j >= len(g):
+                    continue
+                c = g[j]
+                src[li, :c.pack_size] = np.frombuffer(
+                    stream, np.uint8, c.pack_size, c.data_off)
+                pack_len[li] = c.pack_size
+                unpack_len[li] = c.unpack_size
+                reset[li] = c.mode >= framing.MODE_STATE
+                active[li] = True
+            lane, ok, _consumed, _iters = B.lzma_chunk_step(
+                lane, jnp.asarray(src), jnp.asarray(pack_len),
+                jnp.asarray(unpack_len), jnp.asarray(reset),
+                jnp.asarray(active), lc=s.lc, lp=s.lp, pb=s.pb)
+            all_ok = bool(np.asarray(ok).all()) and all_ok
+        if not all_ok:
+            raise DataError("batched LZMA2 decode failed on at least one lane")
+        dic = np.asarray(lane.dic)
+        outs = []
+        for li, g in enumerate(lane_groups):
+            unpack = sum(c.unpack_size for c in g)
+            outs.append(dic[li, :unpack].tobytes())
+        return outs
