@@ -30,7 +30,7 @@ $(BUILD)/oracle_driver: tools/oracle_driver.c
 	  $(REF)/LzmaEnc.c $(REF)/LzFind.c $(REF)/Alloc.c $(REF)/Lzma2Enc.c \
 	  $(REF)/Lzma2Dec.c $(REF)/XzEnc.c $(REF)/Xz.c $(REF)/7zCrc.c \
 	  $(REF)/7zCrcOpt.c $(REF)/Sha256.c $(REF)/XzCrc64.c $(REF)/Lzma86Enc.c \
-	  $(REF)/Lzma86Dec.c $(REF)/Bra86.c $(REF)/CpuArch.c
+	  $(REF)/Lzma86Dec.c $(REF)/Bcj2.c $(REF)/Bra86.c $(REF)/Bra.c $(REF)/BraIA64.c $(REF)/Delta.c $(REF)/CpuArch.c
 
 $(BUILD)/oracle_7z: $(BUILD)/oracle_shims.c
 	gcc $(CFLAGS) -o $@ $(REF)/7zMain.c $(REF)/7zIn.c $(REF)/7zDec.c \

@@ -1,31 +1,40 @@
 """Lane-parallel batched LZMA decoder (the TPU compute path).
 
 The reference decodes one stream with one branchy scalar state machine
-(``LzmaDec.c:131-426``).  A TPU cannot run that; what it can run is N
-*independent* streams in lockstep, with every range-coder bit decision
-executed as a masked vector operation across lanes:
+(``LzmaDec.c:131-426``).  The TPU form: N *independent* streams decode in
+lockstep, one packet (literal/match/short-rep) per lane per
+``lax.while_loop`` iteration, with every range-coder bit decision executed
+as masked vector ops across lanes.
 
-* lane  = one LZMA2 dict-reset group (the data-parallel unit the format
-  gives us: ``Lzma2Dec.c:14-26`` reset semantics);
-* one outer ``lax.while_loop`` iteration decodes ONE packet (literal /
-  match / short-rep) per active lane — probability reads are per-lane
-  gathers, renormalization is a masked byte shift-in, model updates are
-  per-lane scatters;
-* LZ77 match copies run as K-byte vectorized steps using the modulo trick
-  (``src[i] = pos - dist + i % dist``), which never reads a byte written in
-  the same step, so overlapping matches need no serial inner loop;
-* multi-chunk groups are handled by calling the jitted chunk-step once per
-  chunk index with carried per-lane model state (probs/state/reps/dic),
-  matching LZMA2 state-reset flags.
+TPU-first design decisions (v2 — no per-lane gather/scatter on the model):
 
-All shapes are static (pad to ``pack_cap`` / ``dic_cap``); all lanes of a
-batch share (lc, lp, pb) — the host partitions work accordingly.
+* **Probability model = per-family, per-tree-level arrays.**  A flat
+  ``probs[lane, idx]`` table needs per-lane dynamic gather/scatter, which
+  TPU vector units do not do well.  Instead each context family (is_match,
+  rep flags, pos-slot tree, length coders, literal tree…) is its own
+  ``[N, W]`` array, and bit-tree walks are decomposed by level so each
+  step touches only the ``W = contexts × 2^level`` slice it can actually
+  address.  Reads are one-hot select-reduces; adaptive updates are
+  elementwise ``where`` — pure VPU work that XLA keeps in place in the
+  loop carry.
+* **Register-resident input lookahead.**  Renormalization consumes ≤ 1
+  byte per bit; a carried 4-byte ``uint32`` lookahead register makes the
+  renorm itself memory-free, refilled by one ``[N, 4]`` gather at a few
+  fixed points per packet.
+* **LZ77 copies as K-wide modulo-gather steps** — ``src[i] = pos - dist +
+  (i mod dist)`` never reads a byte written in the same step, so
+  overlapping matches need no serial loop.
+* lane = one LZMA2 dict-reset group (``Lzma2Dec.c:14-26`` reset
+  semantics); multi-chunk groups carry model state across jitted chunk
+  steps, with per-chunk state-reset masks.
+
+All shapes static; all lanes of a batch share (lc, lp, pb).
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import Any, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -41,113 +50,173 @@ _MASK32 = np.uint32(0xFFFFFFFF)
 COPY_WIDTH = 32  # bytes moved per vectorized copy step
 
 
+# ---------------------------------------------------------------------------
+# probability-model family layout
+# ---------------------------------------------------------------------------
+
+def _family_shapes(lc: int, lp: int) -> dict[str, int]:
+    """Widths of every model family array (second dim of [N, W])."""
+    nls = 1 << (lc + lp)
+    shapes = {
+        "is_match": S.NUM_STATES << S.NUM_POS_BITS_MAX,      # state<<4 | ps
+        "is_rep": S.NUM_STATES,
+        "is_rep_g0": S.NUM_STATES,
+        "is_rep_g1": S.NUM_STATES,
+        "is_rep_g2": S.NUM_STATES,
+        "is_rep0_long": S.NUM_STATES << S.NUM_POS_BITS_MAX,
+        "spec_pos": S.NUM_SPEC_POS,                          # computed idx
+        "align": S.ALIGN_TABLE_SIZE,                         # tree node m
+        "len_choice": 2 * 2,                                 # coder*2+which
+    }
+    # pos-slot tree levels: idx = lt_ps * 2^k + (m - 2^k)
+    for k in range(S.NUM_POS_SLOT_BITS):
+        shapes[f"slot_{k}"] = S.NUM_LEN_TO_POS_STATES << k
+    # len low/mid levels: idx = ((coder*2+ismid)*16 + ps) * 2^k + (m - 2^k)
+    for k in range(S.LEN_LOW_BITS):
+        shapes[f"lowmid_{k}"] = (2 * 2 * S.POS_STATES_MAX) << k
+    # len high levels: idx = coder * 2^k + (m - 2^k)
+    for k in range(S.LEN_HIGH_BITS):
+        shapes[f"high_{k}"] = 2 << k
+    # literal levels: idx = (lit_state*3 + plane) * 2^k + (m - 2^k)
+    for k in range(8):
+        shapes[f"lit_{k}"] = (nls * 3) << k
+    return shapes
+
+
 class LaneState(NamedTuple):
     """Per-lane decoder state carried across chunk steps."""
 
-    probs: jax.Array     # [N, NPROBS] int32
-    dic: jax.Array       # [N, dic_cap] uint8 — group output == dictionary
-    outpos: jax.Array    # [N] int32, position within the group
-    state: jax.Array     # [N] int32, LZ state 0..11
-    rep0: jax.Array      # [N] uint32 (stored as distance-1)
+    fams: dict[str, jax.Array]  # family name -> [N, W] int32
+    dic: jax.Array              # [N, dic_cap + COPY_WIDTH] int32 bytes
+    outpos: jax.Array           # [N] int32
+    state: jax.Array            # [N] int32
+    rep0: jax.Array             # [N] uint32 (distance - 1)
     rep1: jax.Array
     rep2: jax.Array
     rep3: jax.Array
+    last_byte: jax.Array        # [N] int32 — dic[outpos-1] mirror
 
 
-class StepState(NamedTuple):
-    """Full loop state inside one chunk step."""
-
-    lane: LaneState
-    rng: jax.Array       # [N] uint32
-    code: jax.Array      # [N] uint32
-    inpos: jax.Array     # [N] int32 (index into src row)
-    err: jax.Array       # [N] bool
-    pend_len: jax.Array  # [N] int32 — bytes of match left to copy
-    pend_dist: jax.Array  # [N] int32
-
-
-def init_lane_state(n_lanes: int, num_probs: int, dic_cap: int) -> LaneState:
+def init_lane_state(n_lanes: int, lc: int, lp: int, dic_cap: int) -> LaneState:
     """Allocate carried lane state.
 
     The dic row is padded by COPY_WIDTH scratch bytes: masked-off lanes'
     scatter writes are directed there (TPU clamps out-of-bounds scatter
-    indices rather than dropping them, so a -1 sentinel would corrupt the
-    last real byte).
+    indices rather than dropping them).
     """
     z32 = jnp.zeros((n_lanes,), _I32)
     zu = jnp.zeros((n_lanes,), _U32)
+    fams = {name: jnp.full((n_lanes, w), S.PROB_INIT, _I32)
+            for name, w in _family_shapes(lc, lp).items()}
     return LaneState(
-        probs=jnp.full((n_lanes, num_probs), S.PROB_INIT, _I32),
-        dic=jnp.zeros((n_lanes, dic_cap + COPY_WIDTH), jnp.uint8),
+        fams=fams,
+        dic=jnp.zeros((n_lanes, dic_cap + COPY_WIDTH), _I32),
         outpos=z32, state=z32, rep0=zu, rep1=zu, rep2=zu, rep3=zu,
+        last_byte=z32,
     )
 
 
-def _decode_bit(st: StepState, src, in_limit, idx, do):
-    """One masked adaptive-bit decode across all lanes.
+# ---------------------------------------------------------------------------
+# step-local state
+# ---------------------------------------------------------------------------
 
-    ``idx``: [N] int32 prob index. ``do``: [N] bool — lanes taking this
-    decision. Returns (new_st, bit[N] int32 with bit==1 meaning the '1'
-    branch; bit forced 0 on inactive lanes).
+class StepState(NamedTuple):
+    lane: LaneState
+    rng: jax.Array        # [N] uint32
+    code: jax.Array       # [N] uint32
+    la: jax.Array         # [N] uint32 — lookahead, next byte in top 8 bits
+    la_cnt: jax.Array     # [N] int32 — valid lookahead bytes (0..4)
+    inpos: jax.Array      # [N] int32 — next *prefetch* position in src
+    consumed: jax.Array   # [N] int32 — bytes actually consumed by the coder
+    err: jax.Array        # [N] bool
+    pend_len: jax.Array   # [N] int32
+    pend_dist: jax.Array  # [N] int32
+
+
+def _fetch_be32(src32, pos):
+    """Read 4 bytes at byte offset `pos` as a BE u32, from LE-word-packed
+    input (one [N,2] int32 gather + register shifts — u8 gathers lower to a
+    very slow TPU path, word gathers do not)."""
+    nwords = src32.shape[1]
+    word = pos >> 2
+    r = (pos & 3).astype(_U32) << 3
+    idx = jnp.stack([jnp.clip(word, 0, nwords - 1),
+                     jnp.clip(word + 1, 0, nwords - 1)], axis=1)
+    w = jnp.take_along_axis(src32, idx, axis=1).astype(_U32)
+
+    def bswap(x):
+        return (((x & 0xFF) << 24) | ((x & 0xFF00) << 8)
+                | ((x >> 8) & 0xFF00) | (x >> 24))
+
+    hi = bswap(w[:, 0])
+    lo = bswap(w[:, 1])
+    # r == 0 → hi only (shift-by-32 is undefined; mask it)
+    out = (hi << r) | jnp.where(r == 0, 0, lo >> (32 - r))
+    return out
+
+
+def _refill(st: StepState, src32, do):
+    """Top the lookahead register up to 4 bytes."""
+    need = do & (st.la_cnt < 4)
+    fetched = _fetch_be32(src32, st.inpos)
+    sh = (st.la_cnt << 3).astype(_U32)
+    la = jnp.where(need, st.la | (fetched >> sh), st.la)
+    inpos = jnp.where(need, st.inpos + (4 - st.la_cnt), st.inpos)
+    la_cnt = jnp.where(need, 4, st.la_cnt)
+    return st._replace(la=la, la_cnt=la_cnt, inpos=inpos)
+
+
+def _renorm(st: StepState, pack_len, do):
+    """Masked single renormalization step (register-only)."""
+    need = (st.rng < _TOP) & do
+    over = need & (st.consumed >= pack_len)
+    byte = st.la >> 24
+    return st._replace(
+        rng=jnp.where(need, st.rng << 8, st.rng),
+        code=jnp.where(need, (st.code << 8) | byte, st.code),
+        la=jnp.where(need, st.la << 8, st.la),
+        la_cnt=jnp.where(need, st.la_cnt - 1, st.la_cnt),
+        consumed=jnp.where(need, st.consumed + 1, st.consumed),
+        err=st.err | over,
+    ), need
+
+
+def _bit(st: StepState, pack_len, fam: str, idx, do):
+    """Masked adaptive-bit decode against family array `fam`.
+
+    The family array is threaded through ``st.lane.fams`` so its lineage is
+    a clean chain — XLA then updates the loop-carry buffer in place instead
+    of copying it every bit-step.
+
+    Returns (st, bit[N] int32: 1 = the '1' branch, 0 otherwise and for
+    inactive lanes).
     """
-    lane = st.lane
-    rng, code, inpos = st.rng, st.code, st.inpos
-    # renormalize (before the decision, reference macro order)
-    need = (rng < _TOP) & do
-    over = need & (inpos >= in_limit)
-    byte_idx = jnp.clip(inpos, 0, src.shape[1] - 1)
-    byte = jnp.take_along_axis(src, byte_idx[:, None], axis=1)[:, 0].astype(_U32)
-    rng = jnp.where(need, rng << 8, rng)
-    code = jnp.where(need, (code << 8) | byte, code)
-    inpos = jnp.where(need, inpos + 1, inpos)
-    err = st.err | over
-
-    rows = jnp.arange(idx.shape[0])
-    safe_idx = jnp.clip(idx, 0, lane.probs.shape[1] - 1)
-    p = lane.probs[rows, safe_idx]
-    bound = (rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
-    bit0 = code < bound
-    new_rng = jnp.where(bit0, bound, rng - bound)
-    new_code = jnp.where(bit0, code, code - bound)
-    new_p = jnp.where(bit0,
-                      p + ((S.RC_BIT_MODEL_TOTAL - p) >> S.RC_MOVE_BITS),
-                      p - (p >> S.RC_MOVE_BITS))
-    # lanes outside `do` keep their original state entirely
-    rng = jnp.where(do, new_rng, st.rng)
-    code = jnp.where(do, new_code, st.code)
-    inpos = jnp.where(do, inpos, st.inpos)
-    probs = lane.probs.at[rows, safe_idx].set(jnp.where(do, new_p, p))
+    st, _ = _renorm(st, pack_len, do)
+    fams = dict(st.lane.fams)
+    F = fams[fam]
+    w = F.shape[1]
+    oh = (jnp.arange(w, dtype=_I32)[None, :] == idx[:, None]) & do[:, None]
+    p = jnp.sum(jnp.where(oh, F, 0), axis=1)
+    bound = (st.rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
+    bit0 = st.code < bound
+    newp = jnp.where(bit0, p + ((S.RC_BIT_MODEL_TOTAL - p) >> S.RC_MOVE_BITS),
+                     p - (p >> S.RC_MOVE_BITS))
+    fams[fam] = jnp.where(oh, newp[:, None], F)
+    rng = jnp.where(do, jnp.where(bit0, bound, st.rng - bound), st.rng)
+    code = jnp.where(do, jnp.where(bit0, st.code, st.code - bound), st.code)
     bit = jnp.where(do & ~bit0, 1, 0).astype(_I32)
-    return st._replace(lane=lane._replace(probs=probs), rng=rng, code=code,
-                       inpos=inpos, err=err), bit
-
-
-def _decode_tree(st, src, in_limit, base, num_bits, do):
-    """Masked bit-tree decode: returns symbol in [0, 2^num_bits)."""
-    m = jnp.ones_like(base)
-    for _ in range(num_bits):
-        st, b = _decode_bit(st, src, in_limit, base + m, do)
-        m = jnp.where(do, (m << 1) | b, m)
-    return st, jnp.where(do, m - (1 << num_bits), 0)
-
-
-def _decode_tree_reverse_dyn(st, src, in_limit, base, num_bits, max_bits, do):
-    """Masked reverse bit-tree with per-lane bit count ≤ max_bits."""
-    m = jnp.ones_like(base)
-    sym = jnp.zeros_like(base)
-    for i in range(max_bits):
-        act = do & (i < num_bits)
-        st, b = _decode_bit(st, src, in_limit, base + m, act)
-        m = jnp.where(act, (m << 1) | b, m)
-        sym = jnp.where(act, sym | (b << i), sym)
-    return st, sym
+    return st._replace(rng=rng, code=code,
+                       lane=st.lane._replace(fams=fams)), bit
 
 
 def _gather_dic(dic, pos):
-    """dic[lane, pos] with clamped indices → [N] int32."""
     safe = jnp.clip(pos, 0, dic.shape[1] - 1)
-    return jnp.take_along_axis(dic, safe[:, None], axis=1)[:, 0].astype(_I32)
+    return jnp.take_along_axis(dic, safe[:, None], axis=1)[:, 0]
 
+
+# ---------------------------------------------------------------------------
+# the chunk step
+# ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("lc", "lp", "pb"))
 def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
@@ -155,44 +224,48 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
                     pb: int = 2):
     """Decode one LZMA chunk on every active lane.
 
-    Args:
-      lane: carried per-lane state (probs/dic/outpos/state/reps).
-      src: [N, pack_cap] uint8 packed chunk payloads (range-coded data).
-      pack_len / unpack_len: [N] int32 sizes; lanes with active=False ignored.
-      reset_state_mask: [N] bool — LZMA2 mode ≥ 1 for this chunk.
-      active: [N] bool.
-
-    Returns (lane', ok[N] bool, consumed[N] int32).
+    Returns ``(lane', ok[N] bool, consumed[N] int32, n_iters int32)``.
     """
     n = src.shape[0]
     pb_mask = (1 << pb) - 1
     lp_mask = (1 << lp) - 1
+    nls3 = (1 << (lc + lp)) * 3
 
     # --- per-chunk resets -------------------------------------------------
     rs = reset_state_mask & active
-    probs = jnp.where(rs[:, None], jnp.full_like(lane.probs, S.PROB_INIT),
-                      lane.probs)
-    state = jnp.where(rs, 0, lane.state)
+    fams = {k: jnp.where(rs[:, None], S.PROB_INIT, v)
+            for k, v in lane.fams.items()}
     zu = jnp.zeros((n,), _U32)
-    rep0 = jnp.where(rs, zu, lane.rep0)
-    rep1 = jnp.where(rs, zu, lane.rep1)
-    rep2 = jnp.where(rs, zu, lane.rep2)
-    rep3 = jnp.where(rs, zu, lane.rep3)
-    lane = lane._replace(probs=probs, state=state, rep0=rep0, rep1=rep1,
-                         rep2=rep2, rep3=rep3)
+    lane = lane._replace(
+        fams=fams,
+        state=jnp.where(rs, 0, lane.state),
+        rep0=jnp.where(rs, zu, lane.rep0),
+        rep1=jnp.where(rs, zu, lane.rep1),
+        rep2=jnp.where(rs, zu, lane.rep2),
+        rep3=jnp.where(rs, zu, lane.rep3),
+    )
 
-    # --- range coder init: byte0 must be 0, code = BE32(bytes 1..4) -------
+    # LE-word-packed input: u8 gathers lower to a slow TPU path, i32 ones
+    # do not.  Pad to a word multiple (+1 spare word for the 2-word fetch).
+    pad = (-src.shape[1]) % 4 + 4
+    srcp = jnp.pad(src, ((0, 0), (0, pad))).reshape(n, -1, 4).astype(_U32)
+    src32 = (srcp[:, :, 0] | (srcp[:, :, 1] << 8) | (srcp[:, :, 2] << 16)
+             | (srcp[:, :, 3] << 24)).astype(jnp.int32)
+
+    # --- range coder init: byte0 == 0, code = BE32(bytes 1..4) ------------
     b = [src[:, i].astype(_U32) for i in range(5)]
     code0 = (b[1] << 24) | (b[2] << 16) | (b[3] << 8) | b[4]
     init_err = active & ((b[0] != 0) | (pack_len < 5))
-    in_limit = pack_len
     out_limit = lane.outpos + unpack_len
 
     st = StepState(
         lane=lane,
         rng=jnp.full((n,), _MASK32, _U32),
         code=code0,
+        la=jnp.zeros((n,), _U32),
+        la_cnt=jnp.zeros((n,), _I32),
         inpos=jnp.full((n,), 5, _I32),
+        consumed=jnp.full((n,), 5, _I32),
         err=init_err,
         pend_len=jnp.zeros((n,), _I32),
         pend_dist=jnp.ones((n,), _I32),
@@ -209,68 +282,77 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         return (body(st), it + 1)
 
     def body(st: StepState):
-        lane = st.lane
-        dic = lane.dic
-        outpos = lane.outpos
-        state = lane.state
-        rep0, rep1, rep2, rep3 = lane.rep0, lane.rep1, lane.rep2, lane.rep3
-        do = active & ~st.err & (outpos < out_limit) & (st.pend_len == 0)
+        # small [N] vectors are safe to hold as locals (copies are trivial);
+        # the big arrays (fams, dic) are threaded through `st` immediately so
+        # XLA keeps their loop-carry buffers updated in place.
+        outpos = st.lane.outpos
+        state = st.lane.state
+        rep0, rep1, rep2, rep3 = (st.lane.rep0, st.lane.rep1, st.lane.rep2,
+                                  st.lane.rep3)
+        do = active & ~st.err & (outpos < out_limit)
         pos_state = outpos & pb_mask
+        rows = jnp.arange(n)
+        scratch = st.lane.dic.shape[1] - COPY_WIDTH
 
-        # ---- is-match ----------------------------------------------------
-        st, bm = _decode_bit(st, src, in_limit,
-                             S.IS_MATCH + (state << S.NUM_POS_BITS_MAX) + pos_state,
-                             do)
+        st = _refill(st, src32, do)
+        st, bm = _bit(st, pack_len, "is_match",
+                            (state << S.NUM_POS_BITS_MAX) + pos_state, do)
         is_lit = do & (bm == 0)
         is_mat = do & (bm == 1)
 
         # ---- literal -----------------------------------------------------
-        prev = jnp.where(outpos > 0, _gather_dic(dic, outpos - 1), 0)
+        prev = jnp.where(outpos > 0, st.lane.last_byte, 0)
         lit_state = ((outpos & lp_mask) << lc) + (prev >> (8 - lc))
-        lit_base = S.LITERAL + 0x300 * lit_state
-        mb = _gather_dic(dic, outpos - rep0.astype(_I32) - 1)
-        in_match_state = state >= 7
-        offs = jnp.where(in_match_state, 0x100, 0)
-        mb = jnp.where(in_match_state, mb, 0)
-        sym = jnp.ones((src.shape[0],), _I32)
-        for _ in range(8):
+        mb = _gather_dic(st.lane.dic, outpos - rep0.astype(_I32) - 1)
+        in_ms = state >= 7
+        matched = is_lit & in_ms
+        mb = jnp.where(in_ms, mb, 0)
+        plane_hot = jnp.where(matched, 1, 0)   # 0 normal; 1/2 matched planes
+        sym = jnp.ones((n,), _I32)
+        for k in range(8):
+            # lookahead budget: entry guarantees ≥3 bytes (refill before
+            # is_match gave 4, is_match took ≤1) → refill at k=3 and k=7
+            if k in (3, 7):
+                st = _refill(st, src32, is_lit)
             mb = mb << 1
-            bit_ctx = mb & offs
-            st, bl = _decode_bit(st, src, in_limit,
-                                 lit_base + offs + bit_ctx + sym, is_lit)
+            mbit = (mb >> 8) & 1
+            # plane: 0 = normal; matched: 1 when context bit (offs) set path…
+            plane = jnp.where(matched, 1 + mbit, 0)
+            idx = (lit_state * 3 + plane) * (1 << k) + (sym - (1 << k))
+            st, bl = _bit(st, pack_len, f"lit_{k}", idx, is_lit)
             sym = jnp.where(is_lit, (sym << 1) | bl, sym)
-            offs = jnp.where(bl == 1, offs & bit_ctx, offs & ~bit_ctx)
-        lit_byte = (sym & 0xFF).astype(jnp.uint8)
-        rows = jnp.arange(src.shape[0])
-        scratch = dic.shape[1] - COPY_WIDTH  # masked writes land here
+            # once decoded bit != match bit, fall out of matched mode
+            matched = matched & (bl == mbit)
+        lit_byte = (sym & 0xFF)
         wpos = jnp.where(is_lit, outpos, scratch)
-        dic = dic.at[rows, wpos].set(lit_byte)
+        st = st._replace(lane=st.lane._replace(
+            dic=st.lane.dic.at[rows, wpos].set(lit_byte)))
         outpos = jnp.where(is_lit, outpos + 1, outpos)
+        last_byte = jnp.where(is_lit, lit_byte, st.lane.last_byte)
         lit_next = jnp.where(state < 4, 0,
                              jnp.where(state < 10, state - 3, state - 6))
         state = jnp.where(is_lit, lit_next, state)
 
         # ---- match family ------------------------------------------------
-        st, br = _decode_bit(st, src, in_limit, S.IS_REP + state, is_mat)
+        st, br = _bit(st, pack_len, "is_rep", state, is_mat)
         simple = is_mat & (br == 0)
         rep = is_mat & (br == 1)
 
-        st, bg0 = _decode_bit(st, src, in_limit, S.IS_REP_G0 + state, rep)
+        st = _refill(st, src32, rep)  # g0 + (r0long | g1+g2) ≤ 3 renorms
+        st, bg0 = _bit(st, pack_len, "is_rep_g0", state, rep)
         rep_g0 = rep & (bg0 == 0)
-        st, b0l = _decode_bit(
-            st, src, in_limit,
-            S.IS_REP0_LONG + (state << S.NUM_POS_BITS_MAX) + pos_state, rep_g0)
+        st, b0l = _bit(st, pack_len, "is_rep0_long",
+                             (state << S.NUM_POS_BITS_MAX) + pos_state, rep_g0)
         shortrep = rep_g0 & (b0l == 0)
         longrep0 = rep_g0 & (b0l == 1)
         repg = rep & (bg0 == 1)
-        st, bg1 = _decode_bit(st, src, in_limit, S.IS_REP_G1 + state, repg)
+        st, bg1 = _bit(st, pack_len, "is_rep_g1", state, repg)
         use_r1 = repg & (bg1 == 0)
         repg2 = repg & (bg1 == 1)
-        st, bg2 = _decode_bit(st, src, in_limit, S.IS_REP_G2 + state, repg2)
+        st, bg2 = _bit(st, pack_len, "is_rep_g2", state, repg2)
         use_r2 = repg2 & (bg2 == 0)
         use_r3 = repg2 & (bg2 == 1)
 
-        # rep distance move-to-front
         rot = use_r1 | use_r2 | use_r3
         dist_rep = jnp.where(use_r1, rep1, jnp.where(use_r2, rep2, rep3))
         rep3 = jnp.where(use_r3, rep2, rep3)
@@ -278,30 +360,44 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         rep1 = jnp.where(rot, rep0, rep1)
         rep0 = jnp.where(rot, dist_rep, rep0)
 
-        # short rep: copy 1 byte from rep0 distance
-        sr_byte = _gather_dic(dic, outpos - rep0.astype(_I32) - 1).astype(jnp.uint8)
+        sr_byte = _gather_dic(st.lane.dic, outpos - rep0.astype(_I32) - 1)
         wpos = jnp.where(shortrep, outpos, scratch)
-        dic = dic.at[rows, wpos].set(sr_byte)
+        st = st._replace(lane=st.lane._replace(
+            dic=st.lane.dic.at[rows, wpos].set(sr_byte)))
         outpos = jnp.where(shortrep, outpos + 1, outpos)
+        last_byte = jnp.where(shortrep, sr_byte, last_byte)
         state = jnp.where(shortrep, jnp.where(state < 7, 9, 11), state)
 
         # ---- length ------------------------------------------------------
         len_lanes = simple | longrep0 | rot
-        len_base = jnp.where(simple, S.LEN_CODER, S.REP_LEN_CODER)
-        st, c1 = _decode_bit(st, src, in_limit, len_base + S.LEN_CHOICE, len_lanes)
-        st, c2 = _decode_bit(st, src, in_limit, len_base + S.LEN_CHOICE2,
-                             len_lanes & (c1 == 1))
+        coder = jnp.where(simple, 0, 1)
+        st = _refill(st, src32, len_lanes)
+        st, c1 = _bit(st, pack_len, "len_choice", coder * 2,
+                            len_lanes)
+        st, c2 = _bit(st, pack_len, "len_choice", coder * 2 + 1,
+                            len_lanes & (c1 == 1))
         low = len_lanes & (c1 == 0)
         mid = len_lanes & (c1 == 1) & (c2 == 0)
         high = len_lanes & (c1 == 1) & (c2 == 1)
         lowmid = low | mid
-        lm_base = len_base + jnp.where(
-            low, S.LEN_LOW + (pos_state << S.LEN_LOW_BITS),
-            S.LEN_MID + (pos_state << S.LEN_MID_BITS))
-        st, lm_sym = _decode_tree(st, src, in_limit, lm_base, S.LEN_LOW_BITS,
-                                  lowmid)
-        st, hi_sym = _decode_tree(st, src, in_limit, len_base + S.LEN_HIGH,
-                                  S.LEN_HIGH_BITS, high)
+        ismid = jnp.where(mid, 1, 0)
+        m = jnp.ones((n,), _I32)
+        for k in range(S.LEN_LOW_BITS):
+            if k == 0:
+                st = _refill(st, src32, lowmid)
+            idx = (((coder * 2 + ismid) * S.POS_STATES_MAX + pos_state)
+                   * (1 << k)) + (m - (1 << k))
+            st, blm = _bit(st, pack_len, f"lowmid_{k}", idx, lowmid)
+            m = jnp.where(lowmid, (m << 1) | blm, m)
+        lm_sym = jnp.where(lowmid, m - S.LEN_LOW_SYMBOLS, 0)
+        m = jnp.ones((n,), _I32)
+        for k in range(S.LEN_HIGH_BITS):
+            if k in (0, 4):
+                st = _refill(st, src32, high)
+            idx = coder * (1 << k) + (m - (1 << k))
+            st, bh = _bit(st, pack_len, f"high_{k}", idx, high)
+            m = jnp.where(high, (m << 1) | bh, m)
+        hi_sym = jnp.where(high, m - S.LEN_HIGH_SYMBOLS, 0)
         length = jnp.where(
             low, S.MATCH_MIN_LEN + lm_sym,
             jnp.where(mid, S.MATCH_MIN_LEN + S.LEN_LOW_SYMBOLS + lm_sym,
@@ -314,61 +410,94 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         # ---- distance (simple matches) ----------------------------------
         lt_ps = jnp.minimum(length - S.MATCH_MIN_LEN,
                             S.NUM_LEN_TO_POS_STATES - 1)
-        st, slot = _decode_tree(st, src, in_limit,
-                                S.POS_SLOT + (lt_ps << S.NUM_POS_SLOT_BITS),
-                                S.NUM_POS_SLOT_BITS, simple)
+        st = _refill(st, src32, simple)
+        m = jnp.ones((n,), _I32)
+        for k in range(S.NUM_POS_SLOT_BITS):
+            if k == 4:
+                st = _refill(st, src32, simple)
+            idx = lt_ps * (1 << k) + (m - (1 << k))
+            st, bs = _bit(st, pack_len, f"slot_{k}", idx, simple)
+            m = jnp.where(simple, (m << 1) | bs, m)
+        slot = jnp.where(simple, m - (1 << S.NUM_POS_SLOT_BITS), 0)
+
         big = simple & (slot >= 4)
         nd = jnp.maximum((slot >> 1) - 1, 0)
         dist = jnp.where(big,
                          (2 | (slot & 1)).astype(_U32) << nd.astype(_U32),
                          slot.astype(_U32))
+        # spec-pos reverse tree (slots 4..13, ≤ 5 bits, computed flat idx)
         specs = big & (slot < S.END_POS_MODEL_INDEX)
-        st, spec_add = _decode_tree_reverse_dyn(
-            st, src, in_limit,
-            S.SPEC_POS + dist.astype(_I32) - slot - 1, nd, 5, specs)
-        dist = jnp.where(specs, dist + spec_add.astype(_U32), dist)
+        spec_base = dist.astype(_I32) - slot - 1
+        st = _refill(st, src32, specs)
+        m = jnp.ones((n,), _I32)
+        sym_r = jnp.zeros((n,), _I32)
+        for i in range(5):
+            act = specs & (i < nd)
+            if i == 4:
+                st = _refill(st, src32, act)
+            st, bsp = _bit(st, pack_len, "spec_pos",
+                                 spec_base + m, act)
+            m = jnp.where(act, (m << 1) | bsp, m)
+            sym_r = jnp.where(act, sym_r | (bsp << i), sym_r)
+        dist = jnp.where(specs, dist + sym_r.astype(_U32), dist)
 
-        # direct bits: dynamic while over the max remaining count
+        # direct bits (register renorm, ≤ 26 via dynamic while)
         directs = big & (slot >= S.END_POS_MODEL_INDEX)
         ndirect = jnp.where(directs, nd - S.NUM_ALIGN_BITS, 0)
 
+        # the nested loop carries ONLY the small coder registers — carrying
+        # the full StepState (fams/dic) would make XLA materialize megabytes
+        # of loop-carry around the nested while every outer iteration
         def dcond(c):
-            st_, dval_, left = c
-            return jnp.any(left > 0)
+            return jnp.any(c[-1] > 0)
 
         def dbody(c):
-            st_, dist_, left = c  # dist_ here is the direct-bits accumulator
+            rng, code, la, la_cnt, inpos, consumed, derr, dval, left = c
             act = left > 0
-            rng, code, inpos = st_.rng, st_.code, st_.inpos
+            # inline refill (≤1 byte per bit consumed; refill when empty)
+            need_re = act & (la_cnt < 1)
+            fetched = _fetch_be32(src32, inpos)
+            sh = (la_cnt << 3).astype(_U32)
+            la = jnp.where(need_re, la | (fetched >> sh), la)
+            inpos = jnp.where(need_re, inpos + (4 - la_cnt), inpos)
+            la_cnt = jnp.where(need_re, 4, la_cnt)
+            # renorm
             need = (rng < _TOP) & act
-            over = need & (inpos >= in_limit)
-            bidx = jnp.clip(inpos, 0, src.shape[1] - 1)
-            byte = jnp.take_along_axis(src, bidx[:, None], axis=1)[:, 0].astype(_U32)
+            derr = derr | (need & (consumed >= pack_len))
+            code = jnp.where(need, (code << 8) | (la >> 24), code)
             rng = jnp.where(need, rng << 8, rng)
-            code = jnp.where(need, (code << 8) | byte, code)
-            inpos = jnp.where(need, inpos + 1, inpos)
+            la = jnp.where(need, la << 8, la)
+            la_cnt = jnp.where(need, la_cnt - 1, la_cnt)
+            consumed = jnp.where(need, consumed + 1, consumed)
+            # direct bit
             rng = jnp.where(act, rng >> 1, rng)
             code2 = code - rng
-            t = (jnp.zeros_like(code2) - (code2 >> 31))  # 0 or 0xFFFFFFFF
+            t = jnp.zeros_like(code2) - (code2 >> 31)
             code = jnp.where(act, code2 + (rng & t), code)
-            bitv = (t + 1).astype(_U32)  # 0 if code went negative… (1 + -1)
-            dist_ = jnp.where(act, (dist_ << 1) + bitv, dist_)
-            st_ = st_._replace(rng=jnp.where(act, rng, st_.rng),
-                               code=jnp.where(act, code, st_.code),
-                               inpos=jnp.where(act, inpos, st_.inpos),
-                               err=st_.err | over)
-            return (st_, dist_, jnp.where(act, left - 1, left))
+            dval = jnp.where(act, (dval << 1) + (t + 1).astype(_U32), dval)
+            return (rng, code, la, la_cnt, inpos, consumed, derr, dval,
+                    jnp.where(act, left - 1, left))
 
-        st, dval, _ = jax.lax.while_loop(
-            dcond, dbody, (st, jnp.zeros_like(dist), ndirect))
-        st, align_add = _decode_tree_reverse_dyn(
-            st, src, in_limit, jnp.full_like(slot, S.ALIGN),
-            jnp.full_like(slot, S.NUM_ALIGN_BITS), S.NUM_ALIGN_BITS, directs)
+        (rng_, code_, la_, lac_, inp_, cons_, derr_, dval, _left) = \
+            jax.lax.while_loop(dcond, dbody,
+                               (st.rng, st.code, st.la, st.la_cnt, st.inpos,
+                                st.consumed, st.err,
+                                jnp.zeros_like(dist), ndirect))
+        st = st._replace(rng=rng_, code=code_, la=la_, la_cnt=lac_,
+                         inpos=inp_, consumed=cons_, err=derr_)
+
+        # align reverse tree (4 bits)
+        st = _refill(st, src32, directs)
+        m = jnp.ones((n,), _I32)
+        sym_r = jnp.zeros((n,), _I32)
+        for i in range(S.NUM_ALIGN_BITS):
+            st, ba = _bit(st, pack_len, "align", m, directs)
+            m = jnp.where(directs, (m << 1) | ba, m)
+            sym_r = jnp.where(directs, sym_r | (ba << i), sym_r)
         dist = jnp.where(directs,
                          dist + (dval << S.NUM_ALIGN_BITS)
-                         + align_add.astype(_U32), dist)
+                         + sym_r.astype(_U32), dist)
 
-        # end marker is invalid inside LZMA2 chunks
         marker = simple & (dist == _MASK32)
         rep3 = jnp.where(simple, rep2, rep3)
         rep2 = jnp.where(simple, rep1, rep2)
@@ -381,50 +510,50 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         overrun = match_lanes & (outpos + length > out_limit)
         err = st.err | marker | bad | overrun
         pend_len = jnp.where(match_lanes & ~err, length, 0)
-        pend_dist = jnp.where(match_lanes, rep0.astype(_I32) + 1, st.pend_dist)
+        pend_dist = jnp.where(match_lanes, rep0.astype(_I32) + 1,
+                              st.pend_dist)
 
-        # st.lane carries the adapted probability model from the bit decodes;
-        # merge the locally-updated LZ fields into it (NOT the stale `lane`)
-        lane = st.lane._replace(dic=dic, outpos=outpos, state=state, rep0=rep0,
-                                rep1=rep1, rep2=rep2, rep3=rep3)
+        lane = st.lane._replace(outpos=outpos, state=state, rep0=rep0,
+                                rep1=rep1, rep2=rep2, rep3=rep3,
+                                last_byte=last_byte)
         st = st._replace(lane=lane, err=err, pend_len=pend_len,
                          pend_dist=pend_dist)
 
-        # ---- copy loop: K bytes per step, modulo trick for overlap -------
-        def ccond(st_):
-            return jnp.any(st_.pend_len > 0)
+        # ---- copy loop ---------------------------------------------------
+        # slim carry: only (dic, outpos, last_byte, pend_len) — never fams
+        def ccond(c):
+            return jnp.any(c[3] > 0)
 
-        def cbody(st_):
-            lane_ = st_.lane
-            dic_ = lane_.dic
-            op = lane_.outpos
-            pl = st_.pend_len
-            pd = jnp.maximum(st_.pend_dist, 1)
+        def cbody(c):
+            dic_, op, lb, pl = c
+            pd = jnp.maximum(st.pend_dist, 1)
             k = jnp.arange(COPY_WIDTH, dtype=_I32)[None, :]
             srcpos = op[:, None] - pd[:, None] + (k % pd[:, None])
             vals = jnp.take_along_axis(
                 dic_, jnp.clip(srcpos, 0, dic_.shape[1] - 1), axis=1)
             wmask = k < pl[:, None]
-            # masked writes target the distinct scratch slots beyond the data
             widx = jnp.where(wmask, op[:, None] + k,
                              dic_.shape[1] - COPY_WIDTH + k)
-            dic_ = dic_.at[jnp.arange(dic_.shape[0])[:, None], widx].set(vals)
+            dic_ = dic_.at[jnp.arange(n)[:, None], widx].set(vals)
             step = jnp.minimum(pl, COPY_WIDTH)
-            return st_._replace(
-                lane=lane_._replace(dic=dic_, outpos=op + step),
-                pend_len=pl - step)
+            nlast = _gather_dic(dic_, op + step - 1)
+            return (dic_, op + step,
+                    jnp.where(pl > 0, nlast, lb), pl - step)
 
-        st = jax.lax.while_loop(ccond, cbody, st)
+        dic_f, op_f, lb_f, pl_f = jax.lax.while_loop(
+            ccond, cbody,
+            (st.lane.dic, st.lane.outpos, st.lane.last_byte, st.pend_len))
+        st = st._replace(
+            lane=st.lane._replace(dic=dic_f, outpos=op_f, last_byte=lb_f),
+            pend_len=pl_f)
         return st
 
     st, n_iters = jax.lax.while_loop(cond, body_wrap, (st, jnp.int32(0)))
 
     # trailing renormalize (reference LzmaDec.c:412): exact consumption
-    tail = active & ~st.err & (st.rng < _TOP) & (st.inpos < in_limit)
-    st = st._replace(inpos=jnp.where(tail, st.inpos + 1, st.inpos))
+    tail = active & ~st.err & (st.rng < _TOP) & (st.consumed < pack_len)
+    st = st._replace(consumed=jnp.where(tail, st.consumed + 1, st.consumed))
 
-    # a chunk is OK iff it produced exactly unpack_len bytes, consumed
-    # exactly pack_len bytes, and raised no error
-    ok = (~st.err) & (st.lane.outpos == out_limit) & (st.inpos == pack_len)
+    ok = (~st.err) & (st.lane.outpos == out_limit) & (st.consumed == pack_len)
     ok = jnp.where(active, ok, True)
-    return st.lane, ok, st.inpos, n_iters
+    return st.lane, ok, st.consumed, n_iters

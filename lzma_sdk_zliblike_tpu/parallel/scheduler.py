@@ -20,7 +20,6 @@ import dataclasses
 import numpy as np
 
 from ..models.lzma2 import framing
-from ..models.lzma.spec import num_probs
 from ..utils.errors import DataError
 
 
@@ -93,7 +92,7 @@ class BatchedLzma2Decoder:
         s = self.shape
         n = s.n_lanes
         max_chunks = max(len(g) for g in lane_groups)
-        lane = B.init_lane_state(n, num_probs(s.lc, s.lp), s.dic_cap)
+        lane = B.init_lane_state(n, s.lc, s.lp, s.dic_cap)
         npz = np.zeros
         all_ok = True
         for j in range(max_chunks):
@@ -119,7 +118,7 @@ class BatchedLzma2Decoder:
             all_ok = bool(np.asarray(ok).all()) and all_ok
         if not all_ok:
             raise DataError("batched LZMA2 decode failed on at least one lane")
-        dic = np.asarray(lane.dic)
+        dic = np.asarray(lane.dic).astype(np.uint8)
         outs = []
         for li, g in enumerate(lane_groups):
             unpack = sum(c.unpack_size for c in g)

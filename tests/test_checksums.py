@@ -1,0 +1,35 @@
+"""CRC32 / CRC64 / SHA-256 parity with the reference kernels."""
+
+import subprocess
+
+from lzma_sdk_zliblike_tpu.utils import checksums as CK
+from tests.corpus import random_bytes
+
+
+def test_crc32_known_vector():
+    assert CK.crc32(b"123456789") == 0xCBF43926
+
+
+def test_crc64_known_vector():
+    # standard CRC-64/XZ check value
+    assert CK.crc64(b"123456789") == 0x995DC9BBDF1939FA
+
+
+def test_crc_oracle_parity(oracle, tmp_path):
+    data = random_bytes(30000)
+    p = tmp_path / "d.bin"
+    p.write_bytes(data)
+    for which, fn in (("crc32", CK.crc32), ("crc64", CK.crc64)):
+        r = subprocess.run([oracle["oracle_driver"], "crc", which, str(p)],
+                           check=True, capture_output=True, text=True)
+        assert int(r.stdout.strip(), 16) == fn(data)
+
+
+def test_rolling_updates():
+    data = random_bytes(10000)
+    assert CK.crc32(data[5000:], CK.crc32(data[:5000])) == CK.crc32(data)
+    assert CK.crc64(data[5000:], CK.crc64(data[:5000])) == CK.crc64(data)
+    s = CK.Sha256Stream()
+    s.update(data[:1000])
+    s.update(data[1000:])
+    assert s.digest() == CK.sha256(data)

@@ -24,6 +24,9 @@
 #include "Lzma86.h"
 #include "7zFile.h"
 #include "7zCrc.h"
+#include "Bra.h"
+#include "Delta.h"
+#include "XzCrc64.h"
 
 static void *OAlloc(void *p, size_t size) { (void)p; return malloc(size); }
 static void OFree(void *p, void *addr) { (void)p; free(addr); }
@@ -161,6 +164,60 @@ static int cmd_lzmae(int lc, int lp, int pb, UInt32 dict,
   return 0;
 }
 
+static int cmd_filter(const char *name, int encoding, UInt32 ip,
+                      const char *inp, const char *outp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  if (!strcmp(name, "x86")) {
+    UInt32 state; x86_Convert_Init(state);
+    SizeT done = x86_Convert(data, n, ip, &state, encoding);
+    fprintf(stderr, "state=%u done=%zu\n", state, (size_t)done);
+  } else if (!strcmp(name, "arm")) {
+    ARM_Convert(data, n, ip, encoding);
+  } else if (!strcmp(name, "armt")) {
+    ARMT_Convert(data, n, ip, encoding);
+  } else if (!strcmp(name, "ppc")) {
+    PPC_Convert(data, n, ip, encoding);
+  } else if (!strcmp(name, "sparc")) {
+    SPARC_Convert(data, n, ip, encoding);
+  } else if (!strcmp(name, "ia64")) {
+    IA64_Convert(data, n, ip, encoding);
+  } else if (!strncmp(name, "delta", 5)) {
+    unsigned dist = (unsigned)atoi(name + 5);
+    Byte st[DELTA_STATE_SIZE];
+    Delta_Init(st);
+    if (encoding) Delta_Encode(st, dist, data, n);
+    else Delta_Decode(st, dist, data, n);
+  } else { fprintf(stderr, "unknown filter\n"); return 1; }
+  write_file(outp, data, n);
+  return 0;
+}
+
+static int cmd_bcj2d(const char *mainp, const char *callp, const char *jumpp,
+                     const char *rcp, const char *outp, size_t outSize) {
+  size_t n0, n1, n2, n3;
+  Byte *b0 = read_file(mainp, &n0);
+  Byte *b1 = read_file(callp, &n1);
+  Byte *b2 = read_file(jumpp, &n2);
+  Byte *b3 = read_file(rcp, &n3);
+  Byte *out = malloc(outSize ? outSize : 1);
+  int r = Bcj2_Decode(b0, n0, b1, n1, b2, n2, b3, n3, out, outSize);
+  if (r != 0) { fprintf(stderr, "bcj2 dec fail %d\n", r); return 3; }
+  write_file(outp, out, outSize);
+  return 0;
+}
+
+static int cmd_crc(const char *which, const char *inp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  if (!strcmp(which, "crc32")) {
+    CrcGenerateTable();
+    printf("%08x\n", CrcCalc(data, n));
+  } else {
+    Crc64GenerateTable();
+    printf("%016llx\n", (unsigned long long)Crc64Calc(data, n));
+  }
+  return 0;
+}
+
 int main(int argc, char **argv) {
   if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 1; }
   if (!strcmp(argv[1], "lzma2e") && argc == 5)
@@ -169,6 +226,14 @@ int main(int argc, char **argv) {
   if (!strcmp(argv[1], "xze") && argc == 4) return cmd_xze(argv[2], argv[3]);
   if (!strcmp(argv[1], "lzma86e") && argc == 4) return cmd_lzma86e(argv[2], argv[3]);
   if (!strcmp(argv[1], "lzma86d") && argc == 4) return cmd_lzma86d(argv[2], argv[3]);
+  if (!strcmp(argv[1], "filter") && argc == 7)
+    return cmd_filter(argv[2], atoi(argv[3]), (UInt32)strtoul(argv[4], 0, 0),
+                      argv[5], argv[6]);
+  if (!strcmp(argv[1], "crc") && argc == 4)
+    return cmd_crc(argv[2], argv[3]);
+  if (!strcmp(argv[1], "bcj2d") && argc == 8)
+    return cmd_bcj2d(argv[2], argv[3], argv[4], argv[5], argv[6],
+                     (size_t)strtoul(argv[7], 0, 0));
   if (!strcmp(argv[1], "lzmae") && argc == 8)
     return cmd_lzmae(atoi(argv[2]), atoi(argv[3]), atoi(argv[4]),
                      (UInt32)strtoul(argv[5], 0, 0), argv[6], argv[7]);
