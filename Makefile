@@ -7,7 +7,8 @@ NATIVE := native
 CFLAGS := -O2 -D_7ZIP_ST -DTRUE=1 -DFALSE=0
 CXXFLAGS := -O2 -std=c++17 -fPIC -Wall
 
-ORACLE_BINS := $(BUILD)/oracle_lzma $(BUILD)/oracle_driver $(BUILD)/oracle_7z
+ORACLE_BINS := $(BUILD)/oracle_lzma $(BUILD)/oracle_driver $(BUILD)/oracle_7z \
+  $(BUILD)/oracle_fork
 
 .PHONY: all oracle native clean test
 
@@ -38,6 +39,17 @@ $(BUILD)/oracle_7z: $(BUILD)/oracle_shims.c
 	  $(REF)/7zCrcOpt.c $(REF)/CpuArch.c $(REF)/LzmaDec.c $(REF)/Lzma2Dec.c \
 	  $(REF)/Bra.c $(REF)/Bra86.c $(REF)/BraIA64.c $(REF)/Bcj2.c \
 	  $(REF)/7zFile.c $(REF)/7zStream.c $(REF)/Alloc.c $(BUILD)/oracle_shims.c
+
+FORK_OBJS := 7zIn 7zDec 7zAlloc 7zBuf 7zBuf2 7zCrc 7zCrcOpt CpuArch LzmaDec \
+  Lzma2Dec Bra Bra86 BraIA64 Bcj2 7zFile 7zStream Alloc
+
+$(BUILD)/oracle_fork: tools/fork_shims.c
+	@mkdir -p $(BUILD)/fork_obj
+	@for f in $(FORK_OBJS); do \
+	  gcc $(CFLAGS) -w -c $(REF)/$$f.c -o $(BUILD)/fork_obj/$$f.o; done
+	gcc -O2 -c tools/fork_shims.c -o $(BUILD)/fork_obj/fork_shims.o
+	g++ -O2 -fpermissive -include wchar.h $(CFLAGS) -o $@ \
+	  $(REF)/My_Fucking_Main.cpp $(BUILD)/fork_obj/*.o 2>/dev/null
 
 native: $(NATIVE)/liblzt_native.so
 

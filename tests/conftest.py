@@ -32,7 +32,7 @@ def oracle():
         pytest.skip("reference SDK not available")
     os.makedirs(build, exist_ok=True)
     bins = {name: os.path.join(build, name)
-            for name in ("oracle_lzma", "oracle_driver", "oracle_7z")}
+            for name in ("oracle_lzma", "oracle_driver", "oracle_7z", "oracle_fork")}
     if not all(os.path.exists(p) for p in bins.values()):
         subprocess.run(["make", "-C", REPO, "oracle"], check=True,
                        capture_output=True)
