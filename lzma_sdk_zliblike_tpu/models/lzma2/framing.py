@@ -150,6 +150,15 @@ def split_groups(chunks: list[Chunk]) -> list[list[Chunk]]:
 def decode(stream: bytes, dict_prop: int, *, engine: str = "auto") -> bytes:
     """Decode a raw LZMA2 stream (no leading prop byte) to bytes."""
     dict_size = decode_dict_prop(dict_prop)
+    if engine in ("auto", "native"):
+        try:
+            from ... import native
+        except ImportError:
+            native = None
+        if native is not None and native.available():
+            return native.lzma2_decode(stream, dict_prop)
+        if engine == "native":
+            raise RuntimeError("native engine not built")
     chunks, _end = scan(stream)
     return decode_chunks(stream, chunks, dict_size=dict_size, engine=engine)
 
@@ -227,6 +236,17 @@ def encode(data: bytes, *, dict_size: int = 1 << 24,
     the data-parallel unit for batched decode.  With ``False``, only the
     first chunk resets (reference single-stream behavior, better ratio).
     """
+    if engine in ("auto", "native"):
+        try:
+            from ... import native
+        except ImportError:
+            native = None
+        if native is not None and native.available():
+            return native.lzma2_encode(data, dict_size, chunk_size,
+                                       parallel_groups, lc=lc, lp=lp, pb=pb)
+        if engine == "native":
+            raise RuntimeError("native engine not built")
+
     prop_k = encode_dict_prop(dict_size)
     dict_size = decode_dict_prop(prop_k)
     chunk_size = chunk_size or DEFAULT_SUBCHUNK

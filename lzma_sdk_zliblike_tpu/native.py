@@ -61,6 +61,20 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.lzt_crc32.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
     lib.lzt_crc64.restype = ctypes.c_uint64
     lib.lzt_crc64.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint64]
+    lib.lzt_lzma2_encode.restype = ctypes.c_int
+    lib.lzt_lzma2_encode.argtypes = [
+        u8p, ctypes.c_size_t,
+        u8p, ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,   # dict, chunk, parallel
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,         # lc lp pb
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int),       # effort, prop_out
+    ]
+    lib.lzt_lzma2_decode.restype = ctypes.c_int
+    lib.lzt_lzma2_decode.argtypes = [
+        u8p, ctypes.c_size_t,
+        u8p, ctypes.POINTER(ctypes.c_size_t),
+        ctypes.c_int,
+    ]
 
 
 def _as_u8p(b) -> "ctypes.POINTER(ctypes.c_uint8)":
@@ -99,6 +113,41 @@ def lzma_encode(data: bytes, props: LzmaProps, write_end_mark: bool = False,
         1 if write_end_mark else 0, effort)
     raise_for_sres(r)
     return dst.raw[:n.value]
+
+
+def lzma2_encode(data: bytes, dict_size: int, chunk_size: int | None,
+                 parallel: bool, lc: int = 3, lp: int = 0, pb: int = 2,
+                 effort: int = 9) -> tuple[bytes, int]:
+    lib = _load()
+    cap = len(data) + len(data) // 2 + 4096 + 8 * (len(data) // 49152 + 2)
+    dst = ctypes.create_string_buffer(cap)
+    n = ctypes.c_size_t(cap)
+    prop = ctypes.c_int(0)
+    r = lib.lzt_lzma2_encode(
+        _as_u8p(data), len(data),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), ctypes.byref(n),
+        dict_size, chunk_size or 0, 1 if parallel else 0,
+        lc, lp, pb, effort, ctypes.byref(prop))
+    raise_for_sres(r)
+    return dst.raw[:n.value], prop.value
+
+
+def lzma2_decode(stream: bytes, prop: int,
+                 size_hint: int | None = None) -> bytes:
+    lib = _load()
+    cap = size_hint if size_hint is not None else max(1 << 16, len(stream) * 8)
+    while True:
+        dst = ctypes.create_string_buffer(cap)
+        n = ctypes.c_size_t(cap)
+        r = lib.lzt_lzma2_decode(
+            _as_u8p(stream), len(stream),
+            ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.byref(n), prop)
+        if r == 7:  # output cap too small: grow
+            cap *= 4
+            continue
+        raise_for_sres(r)
+        return dst.raw[:n.value]
 
 
 def crc32(data: bytes, value: int = 0) -> int:

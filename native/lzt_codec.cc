@@ -1,0 +1,953 @@
+// lzt_codec.cc — native host engine for the TPU-LZMA framework.
+//
+// From-scratch C++ implementation of the scalar LZMA codec (decode+encode),
+// LZMA2 framing, and CRC kernels, exposed through a small C ABI consumed via
+// ctypes (lzma_sdk_zliblike_tpu/native.py).  This is the framework's fast
+// host path — the role the reference's C plays (LzmaDec.c/LzmaEnc.c/
+// Lzma2*.c as behavioral parity targets; the code here shares no structure
+// with them).  The encoder mirrors the Python reference encoder's decisions
+// exactly (same hash chains, same lazy heuristics) so the two backends are
+// byte-for-byte cross-checkable.
+
+#include <cstdint>
+#include <cstring>
+#include <memory>
+#include <unordered_map>
+#include <vector>
+
+namespace lzt {
+
+using u8 = uint8_t;
+using u16 = uint16_t;
+using u32 = uint32_t;
+using u64 = uint64_t;
+
+// SRes-compatible status codes (Types.h:25-43)
+enum Status {
+  OK = 0,
+  ERR_DATA = 1,
+  ERR_MEM = 2,
+  ERR_UNSUPPORTED = 4,
+  ERR_PARAM = 5,
+  ERR_INPUT_EOF = 6,
+  ERR_OUTPUT_EOF = 7,
+};
+
+// ---- probability-model layout (mirrors models/lzma/spec.py) --------------
+constexpr int kNumStates = 12;
+constexpr int kPosBitsMax = 4;
+constexpr int kMatchMinLen = 2;
+constexpr u32 kTop = 1u << 24;
+constexpr int kProbBits = 11;
+constexpr int kProbTotal = 1 << kProbBits;
+constexpr int kMoveBits = 5;
+constexpr int kProbInit = kProbTotal / 2;
+
+constexpr int IS_MATCH = 0;
+constexpr int IS_REP = IS_MATCH + (kNumStates << kPosBitsMax);
+constexpr int IS_REP_G0 = IS_REP + kNumStates;
+constexpr int IS_REP_G1 = IS_REP_G0 + kNumStates;
+constexpr int IS_REP_G2 = IS_REP_G1 + kNumStates;
+constexpr int IS_REP0_LONG = IS_REP_G2 + kNumStates;
+constexpr int POS_SLOT = IS_REP0_LONG + (kNumStates << kPosBitsMax);
+constexpr int SPEC_POS = POS_SLOT + 4 * 64;
+constexpr int ALIGN_ = SPEC_POS + 114;
+constexpr int LEN_CODER = ALIGN_ + 16;
+constexpr int REP_LEN_CODER = LEN_CODER + 514;
+constexpr int LITERAL = REP_LEN_CODER + 514;
+
+constexpr int LEN_CHOICE = 0, LEN_CHOICE2 = 1, LEN_LOW = 2,
+              LEN_MID = 2 + 16 * 8, LEN_HIGH = 2 + 16 * 8 + 16 * 8;
+
+inline int num_probs(int lc, int lp) { return LITERAL + (0x300 << (lc + lp)); }
+
+inline int state_after_literal(int s) {
+  return s < 4 ? 0 : (s < 10 ? s - 3 : s - 6);
+}
+
+// ==========================================================================
+// decoder
+// ==========================================================================
+
+class Decoder {
+ public:
+  Decoder(int lc, int lp, int pb, u32 dict_size)
+      : lc_(lc), lp_(lp), pb_(pb), dict_size_(dict_size),
+        probs_(num_probs(lc, lp), kProbInit) {}
+
+  void reset_state() {
+    std::fill(probs_.begin(), probs_.end(), (u16)kProbInit);
+    state_ = 0;
+    rep_[0] = rep_[1] = rep_[2] = rep_[3] = 0;
+  }
+
+  // Decode one raw-LZMA segment into out (history buffer == output).
+  // Positions/contexts are counted from dic_start (processedPos
+  // semantics).  Returns consumed input position via *src_pos.
+  int decode(const u8* src, size_t src_len, std::vector<u8>& out,
+             size_t unpack_limit, bool until_mark, size_t dic_start,
+             size_t* consumed, bool* saw_mark) {
+    if (src_len < 5) return ERR_INPUT_EOF;
+    if (src[0] != 0) return ERR_DATA;
+    src_ = src;
+    limit_ = src_len;
+    code_ = ((u32)src[1] << 24) | ((u32)src[2] << 16) | ((u32)src[3] << 8) |
+            src[4];
+    pos_ = 5;
+    range_ = 0xFFFFFFFFu;
+    overrun_ = false;
+    *saw_mark = false;
+
+    const u32 pb_mask = (1u << pb_) - 1;
+    const u32 lp_mask = (1u << lp_) - 1;
+    const size_t out_target = until_mark ? SIZE_MAX : out.size() + unpack_limit;
+
+    int state = state_;
+    u32 rep0 = rep_[0], rep1 = rep_[1], rep2 = rep_[2], rep3 = rep_[3];
+
+    while (out.size() < out_target) {
+      const size_t pos = out.size();
+      const u32 ctx_pos = (u32)(pos - dic_start);
+      const u32 pos_state = ctx_pos & pb_mask;
+
+      if (!bit(IS_MATCH + (state << kPosBitsMax) + pos_state)) {
+        // literal
+        const u8 prev = pos > dic_start ? out[pos - 1] : 0;
+        const u32 lit_state = ((ctx_pos & lp_mask) << lc_) + (prev >> (8 - lc_));
+        u16* base = &probs_[LITERAL + 0x300 * lit_state];
+        unsigned sym = 1;
+        if (state < 7) {
+          while (sym < 0x100) sym = (sym << 1) | bitp(&base[sym]);
+        } else {
+          if (pos - dic_start < rep0 + 1) return ERR_DATA;
+          unsigned mb = out[pos - rep0 - 1];
+          unsigned offs = 0x100;
+          while (sym < 0x100) {
+            mb <<= 1;
+            const unsigned bc = mb & offs;
+            const unsigned b = bitp(&base[offs + bc + sym]);
+            sym = (sym << 1) | b;
+            offs &= b ? bc : ~bc;
+          }
+        }
+        out.push_back((u8)sym);
+        state = state_after_literal(state);
+        if (overrun_) return ERR_INPUT_EOF;
+        continue;
+      }
+
+      unsigned len;
+      if (bit(IS_REP + state)) {
+        if (pos == dic_start) return ERR_DATA;
+        if (!bit(IS_REP_G0 + state)) {
+          if (!bit(IS_REP0_LONG + (state << kPosBitsMax) + pos_state)) {
+            out.push_back(out[pos - rep0 - 1]);
+            state = state < 7 ? 9 : 11;
+            if (overrun_) return ERR_INPUT_EOF;
+            continue;
+          }
+        } else {
+          u32 dist;
+          if (!bit(IS_REP_G1 + state)) {
+            dist = rep1;
+            rep1 = rep0;
+          } else {
+            if (!bit(IS_REP_G2 + state)) {
+              dist = rep2;
+            } else {
+              dist = rep3;
+              rep3 = rep2;
+            }
+            rep2 = rep1;
+            rep1 = rep0;
+          }
+          rep0 = dist;
+        }
+        len = decode_len(REP_LEN_CODER, pos_state);
+        state = state < 7 ? 8 : 11;
+      } else {
+        rep3 = rep2;
+        rep2 = rep1;
+        rep1 = rep0;
+        len = decode_len(LEN_CODER, pos_state);
+        state = state < 7 ? 7 : 10;
+        const unsigned lt = len - kMatchMinLen < 4 ? len - kMatchMinLen : 3;
+        unsigned slot = tree(POS_SLOT + (lt << 6), 6);
+        u32 dist;
+        if (slot < 4) {
+          dist = slot;
+        } else {
+          const unsigned nd = (slot >> 1) - 1;
+          dist = (2 | (slot & 1)) << nd;
+          if (slot < 14) {
+            dist += tree_rev(SPEC_POS + dist - slot - 1, nd);
+          } else {
+            dist += direct_bits(nd - 4) << 4;
+            dist += tree_rev(ALIGN_, 4);
+          }
+        }
+        if (dist == 0xFFFFFFFFu) {
+          *saw_mark = true;
+          break;
+        }
+        rep0 = dist;
+      }
+      if (overrun_) return ERR_INPUT_EOF;
+      if ((u64)rep0 + 1 > pos - dic_start || rep0 + 1 > dict_size_)
+        return ERR_DATA;
+      if (out.size() + len > out_target) return ERR_DATA;
+      size_t from = pos - rep0 - 1;
+      for (unsigned i = 0; i < len; i++) out.push_back(out[from + i]);
+    }
+
+    if (*saw_mark && code_ != 0) return ERR_DATA;
+    // trailing renormalize (LzmaDec.c:412 semantics): exact consumption
+    if (range_ < kTop && pos_ < limit_) pos_++;
+    if (overrun_) return ERR_INPUT_EOF;
+
+    state_ = state;
+    rep_[0] = rep0; rep_[1] = rep1; rep_[2] = rep2; rep_[3] = rep3;
+    *consumed = pos_;
+    return OK;
+  }
+
+  int lc_, lp_, pb_;
+  u32 dict_size_;
+
+ private:
+  inline void normalize() {
+    if (range_ < kTop) {
+      range_ <<= 8;
+      if (pos_ < limit_) {
+        code_ = (code_ << 8) | src_[pos_++];
+      } else {
+        code_ <<= 8;
+        overrun_ = true;
+      }
+    }
+  }
+
+  inline unsigned bitp(u16* p) {
+    normalize();
+    const u32 bound = (range_ >> kProbBits) * *p;
+    if (code_ < bound) {
+      range_ = bound;
+      *p += (kProbTotal - *p) >> kMoveBits;
+      return 0;
+    }
+    range_ -= bound;
+    code_ -= bound;
+    *p -= *p >> kMoveBits;
+    return 1;
+  }
+
+  inline unsigned bit(int idx) { return bitp(&probs_[idx]); }
+
+  unsigned tree(int base, int nbits) {
+    unsigned m = 1;
+    for (int i = 0; i < nbits; i++) m = (m << 1) | bit(base + m);
+    return m - (1u << nbits);
+  }
+
+  unsigned tree_rev(int base, int nbits) {
+    unsigned m = 1, sym = 0;
+    for (int i = 0; i < nbits; i++) {
+      const unsigned b = bit(base + m);
+      m = (m << 1) | b;
+      sym |= b << i;
+    }
+    return sym;
+  }
+
+  u32 direct_bits(int n) {
+    u32 res = 0;
+    for (int i = 0; i < n; i++) {
+      normalize();
+      range_ >>= 1;
+      code_ -= range_;
+      const u32 t = 0 - (code_ >> 31);
+      code_ += range_ & t;
+      res = (res << 1) + t + 1;
+    }
+    return res;
+  }
+
+  unsigned decode_len(int base, u32 pos_state) {
+    if (!bit(base + LEN_CHOICE))
+      return kMatchMinLen + tree(base + LEN_LOW + (pos_state << 3), 3);
+    if (!bit(base + LEN_CHOICE2))
+      return kMatchMinLen + 8 + tree(base + LEN_MID + (pos_state << 3), 3);
+    return kMatchMinLen + 16 + tree(base + LEN_HIGH, 8);
+  }
+
+  std::vector<u16> probs_;
+  int state_ = 0;
+  u32 rep_[4] = {0, 0, 0, 0};
+  const u8* src_ = nullptr;
+  size_t pos_ = 0, limit_ = 0;
+  u32 range_ = 0, code_ = 0;
+  bool overrun_ = false;
+};
+
+// ==========================================================================
+// encoder (mirrors models/lzma/encoder_ref.py decision-for-decision)
+// ==========================================================================
+
+class RangeEncoder {
+ public:
+  void encode_bit(u16* p, int b) {
+    const u32 bound = (range_ >> kProbBits) * *p;
+    if (b == 0) {
+      range_ = bound;
+      *p += (kProbTotal - *p) >> kMoveBits;
+    } else {
+      low_ += bound;
+      range_ -= bound;
+      *p -= *p >> kMoveBits;
+    }
+    while (range_ < kTop) {
+      range_ <<= 8;
+      shift_low();
+    }
+  }
+
+  void direct_bits(u32 v, int n) {
+    for (int i = n - 1; i >= 0; i--) {
+      range_ >>= 1;
+      if ((v >> i) & 1) low_ += range_;
+      while (range_ < kTop) {
+        range_ <<= 8;
+        shift_low();
+      }
+    }
+  }
+
+  void tree(u16* base, int nbits, unsigned sym) {
+    unsigned m = 1;
+    for (int i = nbits - 1; i >= 0; i--) {
+      const unsigned b = (sym >> i) & 1;
+      encode_bit(base + m, b);
+      m = (m << 1) | b;
+    }
+  }
+
+  void tree_rev(u16* base, int nbits, unsigned sym) {
+    unsigned m = 1;
+    for (int i = 0; i < nbits; i++) {
+      const unsigned b = sym & 1;
+      sym >>= 1;
+      encode_bit(base + m, b);
+      m = (m << 1) | b;
+    }
+  }
+
+  void flush() {
+    for (int i = 0; i < 5; i++) shift_low();
+  }
+
+  std::vector<u8> out;
+
+ private:
+  void shift_low() {
+    if (low_ < 0xFF000000ull || low_ > 0xFFFFFFFFull) {
+      const unsigned carry = (unsigned)(low_ >> 32);
+      out.push_back((u8)(cache_ + carry));
+      for (; cache_size_ > 1; cache_size_--) out.push_back((u8)(0xFF + carry));
+      cache_ = (u8)(low_ >> 24);
+      cache_size_ = 0;
+    }
+    cache_size_++;
+    low_ = (low_ & 0x00FFFFFFull) << 8;
+  }
+
+  u64 low_ = 0;
+  u32 range_ = 0xFFFFFFFFu;
+  u8 cache_ = 0;
+  u32 cache_size_ = 1;
+};
+
+// hash-chain match finder — same hash and walk as the Python reference
+class MatchFinder {
+ public:
+  MatchFinder(const u8* data, size_t n, u32 dict_size, int max_chain,
+              int nice_len)
+      : data_(data), n_(n), dict_size_(dict_size), max_chain_(max_chain),
+        nice_len_(nice_len < 273 ? nice_len : 273),
+        prev_(n, 0) {}
+
+  inline u64 hash_at(size_t i) const {
+    const u32 le = (u32)data_[i] | ((u32)data_[i + 1] << 8) |
+                   ((u32)data_[i + 2] << 16) | ((u32)data_[i + 3] << 24);
+    return (((u64)le * 2654435761ull) >> 16) & 0xFFFFFFFFull;
+  }
+
+  void insert(size_t i) {
+    if (i + 4 > n_) return;
+    const u64 h = hash_at(i);
+    auto it = head_.find(h);
+    prev_[i] = it == head_.end() ? -1 : (int64_t)it->second;
+    head_[h] = i;
+  }
+
+  void best_match(size_t i, size_t hard_end, unsigned* best_len,
+                  u32* best_dist) {
+    *best_len = 0;
+    *best_dist = 0;
+    if (i + 4 > n_) return;
+    auto it = head_.find(hash_at(i));
+    int64_t cand = it == head_.end() ? -1 : (int64_t)it->second;
+    int chain = max_chain_;
+    const size_t limit = (n_ - i) < 273 ? (n_ - i) : 273;
+    const int64_t min_pos = (int64_t)i - (int64_t)dict_size_;
+    unsigned bl = 0;
+    u32 bd = 0;
+    while (cand >= 0 && chain > 0 && cand >= min_pos) {
+      if (i + bl < n_ && data_[cand + bl] == data_[i + bl]) {
+        size_t ln = 0;
+        while (ln < limit && data_[cand + ln] == data_[i + ln]) ln++;
+        if (ln > bl) {
+          bl = (unsigned)ln;
+          bd = (u32)(i - cand);
+          if (bl >= (unsigned)nice_len_) break;
+        }
+      }
+      cand = prev_[cand];
+      chain--;
+    }
+    *best_len = bl;
+    *best_dist = bd;
+  }
+
+ private:
+  const u8* data_;
+  size_t n_;
+  u32 dict_size_;
+  int max_chain_, nice_len_;
+  std::unordered_map<u64, size_t> head_;
+  std::vector<int64_t> prev_;
+};
+
+class Encoder {
+ public:
+  Encoder(int lc, int lp, int pb, u32 dict_size, int max_chain = 48,
+          int nice_len = 64)
+      : lc_(lc), lp_(lp), pb_(pb), dict_size_(dict_size),
+        max_chain_(max_chain), nice_len_(nice_len),
+        probs_(num_probs(lc, lp), kProbInit) {}
+
+  void reset_state() {
+    std::fill(probs_.begin(), probs_.end(), (u16)kProbInit);
+    state_ = 0;
+    rep_[0] = rep_[1] = rep_[2] = rep_[3] = 0;
+  }
+
+  struct Snapshot {
+    std::vector<u16> probs;
+    int state;
+    u32 rep[4];
+  };
+
+  Snapshot save() const {
+    Snapshot s{probs_, state_, {rep_[0], rep_[1], rep_[2], rep_[3]}};
+    return s;
+  }
+
+  void restore(const Snapshot& s) {
+    probs_ = s.probs;
+    state_ = s.state;
+    for (int i = 0; i < 4; i++) rep_[i] = s.rep[i];
+  }
+
+  // Encode data[start:end); data[dic_start:start) is dictionary history.
+  // total_n is the full buffer length — the match finder may look past
+  // `end` when measuring candidates (caller caps emitted lengths), which
+  // keeps decisions identical to the Python reference encoder.
+  std::vector<u8> encode_segment(const u8* data, size_t total_n, size_t start,
+                                 size_t end, size_t dic_start, bool end_mark) {
+    RangeEncoder rc;
+    const u32 pb_mask = (1u << pb_) - 1;
+    const u32 lp_mask = (1u << lp_) - 1;
+
+    MatchFinder mf(data, total_n, dict_size_, max_chain_, nice_len_);
+    for (size_t j = dic_start; j < start; j++) mf.insert(j);
+
+    int state = state_;
+    u32 rep0 = rep_[0], rep1 = rep_[1], rep2 = rep_[2], rep3 = rep_[3];
+
+    size_t i = start;
+    while (i < end) {
+      const u32 pos = (u32)(i - dic_start);
+      const u32 pos_state = pos & pb_mask;
+
+      unsigned best_len;
+      u32 best_dist;
+      mf.best_match(i, end, &best_len, &best_dist);
+      if (best_len > end - i) best_len = (unsigned)(end - i);
+      if (best_len < kMatchMinLen) best_len = 0;
+
+      unsigned rep_len[4] = {0, 0, 0, 0};
+      const size_t avail = (end - i) < 273 ? end - i : 273;
+      const u32 reps[4] = {rep0, rep1, rep2, rep3};
+      for (int ri = 0; ri < 4; ri++) {
+        const int64_t from = (int64_t)i - reps[ri] - 1;
+        if (from < (int64_t)dic_start) continue;
+        size_t ln = 0;
+        while (ln < avail && data[from + ln] == data[i + ln]) ln++;
+        rep_len[ri] = (unsigned)ln;
+      }
+      int best_ri = 0;
+      for (int ri = 1; ri < 4; ri++)
+        if (rep_len[ri] > rep_len[best_ri]) best_ri = ri;
+      const unsigned best_rep_len = rep_len[best_ri];
+
+      bool use_match = best_len >= kMatchMinLen;
+      bool use_rep = best_rep_len >= 2;
+      if (use_match && best_len == 2 && best_dist > 512) use_match = false;
+      if (use_rep && use_match && best_rep_len + 1 >= best_len)
+        use_match = false;
+      const unsigned chosen_len = (use_rep && !use_match) ? best_rep_len
+                                                          : best_len;
+      bool mf_inserted = false;
+      if ((use_match || (use_rep && !use_match)) && i + 1 < end &&
+          chosen_len < (unsigned)nice_len_) {
+        mf.insert(i);
+        mf_inserted = true;
+        unsigned nl;
+        u32 nd;
+        mf.best_match(i + 1, end, &nl, &nd);
+        if (nl > chosen_len + 1) {
+          use_match = false;
+          use_rep = false;
+        }
+      }
+
+      if (use_match || use_rep) {
+        const bool is_rep = use_rep && !use_match;
+        const unsigned length = is_rep ? best_rep_len : best_len;
+        rc.encode_bit(&probs_[IS_MATCH + (state << kPosBitsMax) + pos_state], 1);
+        if (is_rep) {
+          rc.encode_bit(&probs_[IS_REP + state], 1);
+          if (best_ri == 0) {
+            rc.encode_bit(&probs_[IS_REP_G0 + state], 0);
+            rc.encode_bit(
+                &probs_[IS_REP0_LONG + (state << kPosBitsMax) + pos_state], 1);
+          } else {
+            rc.encode_bit(&probs_[IS_REP_G0 + state], 1);
+            if (best_ri == 1) {
+              rc.encode_bit(&probs_[IS_REP_G1 + state], 0);
+            } else {
+              rc.encode_bit(&probs_[IS_REP_G1 + state], 1);
+              rc.encode_bit(&probs_[IS_REP_G2 + state], best_ri == 3 ? 1 : 0);
+            }
+            const u32 dist = reps[best_ri];
+            if (best_ri == 1) {
+              rep1 = rep0;
+            } else if (best_ri == 2) {
+              rep2 = rep1;
+              rep1 = rep0;
+            } else {
+              rep3 = rep2;
+              rep2 = rep1;
+              rep1 = rep0;
+            }
+            rep0 = dist;
+          }
+          encode_len(rc, REP_LEN_CODER, pos_state, length);
+          state = state < 7 ? 8 : 11;
+        } else {
+          const u32 dist = best_dist - 1;
+          rc.encode_bit(&probs_[IS_REP + state], 0);
+          rep3 = rep2;
+          rep2 = rep1;
+          rep1 = rep0;
+          rep0 = dist;
+          encode_len(rc, LEN_CODER, pos_state, length);
+          encode_dist(rc, length, dist);
+          state = state < 7 ? 7 : 10;
+        }
+        if (!mf_inserted) mf.insert(i);
+        for (size_t j = i + 1; j < i + length; j++) mf.insert(j);
+        i += length;
+      } else {
+        // short-rep opportunity in match states
+        if (rep_len[0] >= 1 && (int64_t)i - rep0 - 1 >= (int64_t)dic_start &&
+            data[i - rep0 - 1] == data[i] && state >= 7) {
+          rc.encode_bit(&probs_[IS_MATCH + (state << kPosBitsMax) + pos_state], 1);
+          rc.encode_bit(&probs_[IS_REP + state], 1);
+          rc.encode_bit(&probs_[IS_REP_G0 + state], 0);
+          rc.encode_bit(
+              &probs_[IS_REP0_LONG + (state << kPosBitsMax) + pos_state], 0);
+          state = state < 7 ? 9 : 11;
+          if (!mf_inserted) mf.insert(i);
+          i += 1;
+          continue;
+        }
+        rc.encode_bit(&probs_[IS_MATCH + (state << kPosBitsMax) + pos_state], 0);
+        const u8 prev = i > dic_start ? data[i - 1] : 0;
+        const u32 lit_state = ((pos & lp_mask) << lc_) + (prev >> (8 - lc_));
+        u16* base = &probs_[LITERAL + 0x300 * lit_state];
+        const unsigned sym = data[i];
+        if (state < 7) {
+          unsigned m = 1;
+          for (int bi = 7; bi >= 0; bi--) {
+            const unsigned b = (sym >> bi) & 1;
+            rc.encode_bit(&base[m], b);
+            m = (m << 1) | b;
+          }
+        } else {
+          unsigned mb = data[i - rep0 - 1];
+          unsigned offs = 0x100;
+          unsigned m = 1;
+          for (int bi = 7; bi >= 0; bi--) {
+            const unsigned b = (sym >> bi) & 1;
+            mb <<= 1;
+            const unsigned bc = mb & offs;
+            rc.encode_bit(&base[offs + bc + m], b);
+            m = (m << 1) | b;
+            offs &= b ? bc : ~bc;
+          }
+        }
+        state = state_after_literal(state);
+        if (!mf_inserted) mf.insert(i);
+        i += 1;
+      }
+    }
+
+    if (end_mark) {
+      const u32 pos_state = (u32)(end - dic_start) & pb_mask;
+      rc.encode_bit(&probs_[IS_MATCH + (state << kPosBitsMax) + pos_state], 1);
+      rc.encode_bit(&probs_[IS_REP + state], 0);
+      encode_len(rc, LEN_CODER, pos_state, kMatchMinLen);
+      encode_dist(rc, kMatchMinLen, 0xFFFFFFFFu);
+      state = state < 7 ? 7 : 10;
+      rep3 = rep2;
+      rep2 = rep1;
+      rep1 = rep0;
+      rep0 = 0xFFFFFFFFu;
+    }
+
+    state_ = state;
+    rep_[0] = rep0; rep_[1] = rep1; rep_[2] = rep2; rep_[3] = rep3;
+    rc.flush();
+    return std::move(rc.out);
+  }
+
+ private:
+  static unsigned pos_slot(u32 dist) {
+    if (dist < 4) return dist;
+    int n = 31 - __builtin_clz(dist);
+    return (n << 1) | ((dist >> (n - 1)) & 1);
+  }
+
+  void encode_len(RangeEncoder& rc, int base, u32 pos_state, unsigned len) {
+    const unsigned sym = len - kMatchMinLen;
+    if (sym < 8) {
+      rc.encode_bit(&probs_[base + LEN_CHOICE], 0);
+      rc.tree(&probs_[base + LEN_LOW + (pos_state << 3)], 3, sym);
+    } else if (sym < 16) {
+      rc.encode_bit(&probs_[base + LEN_CHOICE], 1);
+      rc.encode_bit(&probs_[base + LEN_CHOICE2], 0);
+      rc.tree(&probs_[base + LEN_MID + (pos_state << 3)], 3, sym - 8);
+    } else {
+      rc.encode_bit(&probs_[base + LEN_CHOICE], 1);
+      rc.encode_bit(&probs_[base + LEN_CHOICE2], 1);
+      rc.tree(&probs_[base + LEN_HIGH], 8, sym - 16);
+    }
+  }
+
+  void encode_dist(RangeEncoder& rc, unsigned len, u32 dist) {
+    const unsigned lt = (len - kMatchMinLen) < 4 ? len - kMatchMinLen : 3;
+    const unsigned slot = pos_slot(dist);
+    rc.tree(&probs_[POS_SLOT + (lt << 6)], 6, slot);
+    if (slot >= 4) {
+      const unsigned nd = (slot >> 1) - 1;
+      const u32 base = (2 | (slot & 1)) << nd;
+      const u32 rem = dist - base;
+      if (slot < 14) {
+        rc.tree_rev(&probs_[SPEC_POS + base - slot - 1], nd, rem);
+      } else {
+        rc.direct_bits(rem >> 4, nd - 4);
+        rc.tree_rev(&probs_[ALIGN_], 4, rem & 15);
+      }
+    }
+  }
+
+  int lc_, lp_, pb_;
+  u32 dict_size_;
+  int max_chain_, nice_len_;
+  std::vector<u16> probs_;
+  int state_ = 0;
+  u32 rep_[4] = {0, 0, 0, 0};
+};
+
+// ==========================================================================
+// CRC kernels (slicing-by-8)
+// ==========================================================================
+
+struct CrcTables {
+  u32 t32[8][256];
+  u64 t64[8][256];
+  CrcTables() {
+    for (u32 i = 0; i < 256; i++) {
+      u32 r = i;
+      for (int k = 0; k < 8; k++) r = (r >> 1) ^ (0xEDB88320u & (0u - (r & 1)));
+      t32[0][i] = r;
+      u64 q = i;
+      for (int k = 0; k < 8; k++)
+        q = (q >> 1) ^ (0xC96C5795D7870F42ull & (0ull - (q & 1)));
+      t64[0][i] = q;
+    }
+    for (int k = 1; k < 8; k++)
+      for (u32 i = 0; i < 256; i++) {
+        t32[k][i] = (t32[k - 1][i] >> 8) ^ t32[0][t32[k - 1][i] & 0xFF];
+        t64[k][i] = (t64[k - 1][i] >> 8) ^ t64[0][t64[k - 1][i] & 0xFF];
+      }
+  }
+};
+
+static const CrcTables g_crc;
+
+u32 crc32(const u8* p, size_t n, u32 v) {
+  u32 crc = ~v;
+  while (n >= 8) {
+    const u32 lo = crc ^ ((u32)p[0] | ((u32)p[1] << 8) | ((u32)p[2] << 16) |
+                          ((u32)p[3] << 24));
+    crc = g_crc.t32[7][lo & 0xFF] ^ g_crc.t32[6][(lo >> 8) & 0xFF] ^
+          g_crc.t32[5][(lo >> 16) & 0xFF] ^ g_crc.t32[4][lo >> 24] ^
+          g_crc.t32[3][p[4]] ^ g_crc.t32[2][p[5]] ^ g_crc.t32[1][p[6]] ^
+          g_crc.t32[0][p[7]];
+    p += 8;
+    n -= 8;
+  }
+  while (n--) crc = (crc >> 8) ^ g_crc.t32[0][(crc ^ *p++) & 0xFF];
+  return ~crc;
+}
+
+u64 crc64(const u8* p, size_t n, u64 v) {
+  u64 crc = ~v;
+  while (n--) crc = (crc >> 8) ^ g_crc.t64[0][(crc ^ *p++) & 0xFF];
+  return ~crc;
+}
+
+}  // namespace lzt
+
+// ==========================================================================
+// C ABI
+// ==========================================================================
+
+extern "C" {
+
+int lzt_lzma_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
+                    size_t* dst_len, int lc, int lp, int pb,
+                    uint32_t dict_size, int has_size) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
+    return lzt::ERR_PARAM;
+  lzt::Decoder dec(lc, lp, pb, dict_size);
+  std::vector<lzt::u8> out;
+  out.reserve(has_size ? *dst_len : src_len * 4);
+  size_t consumed = 0;
+  bool mark = false;
+  const size_t cap = *dst_len;
+  int r = dec.decode(src, src_len, out, cap, !has_size, 0, &consumed,
+                     &mark);
+  if (r != lzt::OK) return r;
+  if (out.size() > cap) return lzt::ERR_OUTPUT_EOF;
+  std::memcpy(dst, out.data(), out.size());
+  *dst_len = out.size();
+  return lzt::OK;
+}
+
+int lzt_lzma_encode(const uint8_t* src, size_t n, uint8_t* dst,
+                    size_t* dst_len, int lc, int lp, int pb,
+                    uint32_t dict_size, int end_mark, int effort) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
+    return lzt::ERR_PARAM;
+  const int chain = effort >= 7 ? 48 : 16;
+  const int nice = 64;
+  lzt::Encoder enc(lc, lp, pb, dict_size, chain, nice);
+  auto out = enc.encode_segment(src, n, 0, n, 0, end_mark != 0);
+  if (out.size() > *dst_len) return lzt::ERR_OUTPUT_EOF;
+  std::memcpy(dst, out.data(), out.size());
+  *dst_len = out.size();
+  return lzt::OK;
+}
+
+uint32_t lzt_crc32(const uint8_t* p, size_t n, uint32_t v) {
+  return lzt::crc32(p, n, v);
+}
+
+uint64_t lzt_crc64(const uint8_t* p, size_t n, uint64_t v) {
+  return lzt::crc64(p, n, v);
+}
+
+}  // extern "C"
+
+// ==========================================================================
+// LZMA2 framing (chunk grammar of Lzma2Dec.c:14-26) over the scalar codec
+// ==========================================================================
+
+extern "C" {
+
+// Encode to a raw LZMA2 stream with dict-reset groups (parallel=1) or a
+// single continued stream (parallel=0).  Returns SRes; *prop_out gets the
+// dict-size prop byte.
+int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
+                     size_t* dst_len, uint32_t dict_size, uint32_t chunk_size,
+                     int parallel, int lc, int lp, int pb, int effort,
+                     int* prop_out) {
+  using namespace lzt;
+  // smallest prop byte covering dict_size: size = (2|(k&1)) << (k/2+11)
+  int prop = 40;
+  for (int k = 0; k < 40; k++) {
+    if (((u64)(2 | (k & 1)) << (k / 2 + 11)) >= dict_size) {
+      prop = k;
+      break;
+    }
+  }
+  const u32 real_dict =
+      prop == 40 ? 0xFFFFFFFFu : ((u32)(2 | (prop & 1)) << (prop / 2 + 11));
+  *prop_out = prop;
+
+  const size_t cap = *dst_len;
+  size_t w = 0;
+  const size_t sub_max = 48u << 10;  // packed must stay < 64 KB
+  const size_t group_size = chunk_size ? chunk_size : (1u << 20);
+  if (group_size > (1u << 21)) return ERR_PARAM;
+  const size_t sub = sub_max < group_size ? sub_max : group_size;
+
+  // match the Python reference finder parameters (48/64) so the two
+  // backends stay byte-for-byte cross-checkable
+  (void)effort;
+  Encoder enc(lc, lp, pb, real_dict, 48, 64);
+  const u8 props_byte = (u8)((pb * 5 + lp) * 9 + lc);
+
+  bool props_sent = false;
+  size_t group_start = 0;
+  while (group_start < n) {
+    const size_t group_end =
+        parallel ? (group_start + group_size < n ? group_start + group_size : n)
+                 : n;
+    enc.reset_state();
+    bool first = true;
+    bool need_reset = true;
+    size_t pos = group_start;
+    while (pos < group_end) {
+      const size_t end = pos + sub < group_end ? pos + sub : group_end;
+      const size_t unpack = end - pos;
+      auto snap = enc.save();
+      auto body = enc.encode_segment(src, n, pos, end, group_start, false);
+      const size_t lim = unpack < (1u << 16) ? unpack : (1u << 16);
+      if (body.size() < lim) {
+        int mode = first ? 3 : (need_reset ? (props_sent ? 1 : 2) : 0);
+        props_sent = true;
+        const size_t hdr = 5 + (mode >= 2 ? 1 : 0);
+        if (w + hdr + body.size() > cap) return ERR_OUTPUT_EOF;
+        const u32 u = (u32)unpack - 1;
+        dst[w++] = (u8)(0x80 | (mode << 5) | (u >> 16));
+        dst[w++] = (u8)(u >> 8);
+        dst[w++] = (u8)u;
+        dst[w++] = (u8)((body.size() - 1) >> 8);
+        dst[w++] = (u8)(body.size() - 1);
+        if (mode >= 2) dst[w++] = props_byte;
+        std::memcpy(dst + w, body.data(), body.size());
+        w += body.size();
+        need_reset = false;
+      } else {
+        enc.restore(snap);
+        size_t cpos = pos;
+        while (cpos < end) {
+          const size_t cend =
+              cpos + (1u << 16) < end ? cpos + (1u << 16) : end;
+          if (w + 3 + (cend - cpos) > cap) return ERR_OUTPUT_EOF;
+          dst[w++] = first ? 1 : 2;
+          dst[w++] = (u8)((cend - cpos - 1) >> 8);
+          dst[w++] = (u8)(cend - cpos - 1);
+          std::memcpy(dst + w, src + cpos, cend - cpos);
+          w += cend - cpos;
+          first = false;
+          cpos = cend;
+        }
+        need_reset = true;
+      }
+      first = false;
+      pos = end;
+    }
+    group_start = group_end;
+  }
+  if (w + 1 > cap) return ERR_OUTPUT_EOF;
+  dst[w++] = 0;  // EOS
+  *dst_len = w;
+  return OK;
+}
+
+// Decode a raw LZMA2 stream (no leading prop byte in src).
+int lzt_lzma2_decode(const uint8_t* src, size_t n, uint8_t* dst,
+                     size_t* dst_len, int prop) {
+  using namespace lzt;
+  if (prop > 40) return ERR_PARAM;
+  const u32 dict =
+      prop == 40 ? 0xFFFFFFFFu : ((u32)(2 | (prop & 1)) << (prop / 2 + 11));
+  const size_t cap = *dst_len;
+  std::vector<u8> out;
+  std::unique_ptr<Decoder> dec;
+  size_t pos = 0;
+  size_t dic_start = 0;
+  bool need_init_state = true;
+  while (true) {
+    if (pos >= n) return ERR_INPUT_EOF;
+    const u8 ctrl = src[pos++];
+    if (ctrl == 0) break;
+    if (ctrl < 3) {  // copy chunk
+      if (pos + 2 > n) return ERR_INPUT_EOF;
+      const size_t size = ((size_t)src[pos] << 8 | src[pos + 1]) + 1;
+      pos += 2;
+      if (pos + size > n) return ERR_INPUT_EOF;
+      if (ctrl == 1) dic_start = out.size();
+      out.insert(out.end(), src + pos, src + pos + size);
+      pos += size;
+      need_init_state = true;
+      continue;
+    }
+    if (ctrl < 0x80) return ERR_DATA;
+    const int mode = (ctrl >> 5) & 3;
+    if (pos + 4 > n) return ERR_INPUT_EOF;
+    const size_t unpack =
+        ((((size_t)ctrl & 0x1F) << 16) | ((size_t)src[pos] << 8) |
+         src[pos + 1]) + 1;
+    const size_t pack = (((size_t)src[pos + 2] << 8) | src[pos + 3]) + 1;
+    pos += 4;
+    if (mode >= 2) {
+      if (pos >= n) return ERR_INPUT_EOF;
+      const u8 d = src[pos++];
+      if (d >= 9 * 5 * 5) return ERR_UNSUPPORTED;
+      const int lc = d % 9, lp = (d / 9) % 5, pb = d / 45;
+      if (!dec || dec->lc_ != lc || dec->lp_ != lp || dec->pb_ != pb)
+        dec.reset(new Decoder(lc, lp, pb, dict));
+      else
+        dec->reset_state();
+      need_init_state = false;
+    } else if (mode == 1) {
+      if (!dec) return ERR_DATA;
+      dec->reset_state();
+      need_init_state = false;
+    } else if (!dec || need_init_state) {
+      return ERR_DATA;
+    }
+    if (mode == 3) dic_start = out.size();
+    if (pos + pack > n) return ERR_INPUT_EOF;
+    size_t consumed = 0;
+    bool mark = false;
+    const size_t before = out.size();
+    int r = dec->decode(src + pos, pack, out, unpack, false, dic_start,
+                        &consumed, &mark);
+    if (r != OK) return r;
+    if (out.size() - before != unpack || consumed != pack) return ERR_DATA;
+    pos += pack;
+  }
+  if (out.size() > cap) return ERR_OUTPUT_EOF;
+  std::memcpy(dst, out.data(), out.size());
+  *dst_len = out.size();
+  return OK;
+}
+
+}  // extern "C"
