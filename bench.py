@@ -1,0 +1,120 @@
+"""Benchmark: batched LZMA2 decode throughput vs the reference single-core.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MB/s", "vs_baseline": N}
+
+baseline = the reference SDK (oracle_lzma, single core, built from
+/root/reference) decoding the same corpus on this host — per BASELINE.md,
+the measured local number is the baseline, not any published figure.
+
+Env knobs: LZT_BENCH_MB (corpus size, default 8), LZT_BENCH_LANES,
+LZT_BENCH_CHUNK (group size), LZT_BENCH_TIMEOUT (seconds, default 1500).
+"""
+
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "build", "jax_cache"))
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def measure_oracle_baseline(data: bytes) -> float:
+    """Reference single-core decode MB/s on this corpus (step-0 baseline)."""
+    repo = os.path.dirname(os.path.abspath(__file__))
+    oracle = os.path.join(repo, "build", "oracle_lzma")
+    if not os.path.exists(oracle):
+        subprocess.run(["make", "-C", repo, "oracle"], check=True,
+                       capture_output=True)
+    import tempfile
+    d = tempfile.mkdtemp()
+    src = os.path.join(d, "in.bin")
+    enc = os.path.join(d, "in.lzma")
+    out = os.path.join(d, "out.bin")
+    with open(src, "wb") as f:
+        f.write(data)
+    subprocess.run([oracle, "e", src, enc], check=True, capture_output=True)
+    t = time.time()
+    subprocess.run([oracle, "d", enc, out], check=True, capture_output=True)
+    dt = time.time() - t
+    assert open(out, "rb").read() == data
+    return len(data) / dt / 1e6
+
+
+def main() -> int:
+    mb = int(os.environ.get("LZT_BENCH_MB", "8"))
+    lanes = int(os.environ.get("LZT_BENCH_LANES", "256"))
+    chunk = int(os.environ.get("LZT_BENCH_CHUNK", str(1 << 14)))
+    timeout_s = int(os.environ.get("LZT_BENCH_TIMEOUT", "1500"))
+
+    from tests.corpus import big_mixed
+    from lzma_sdk_zliblike_tpu.models.lzma2 import framing
+
+    data = big_mixed(mb << 20)
+    log(f"corpus: {len(data)} bytes")
+    t = time.time()
+    stream, prop = framing.encode(data, dict_size=chunk, chunk_size=chunk)
+    log(f"encode (native host): {len(data)/(time.time()-t)/1e6:.2f} MB/s, "
+        f"ratio {len(data)/len(stream):.2f}")
+
+    baseline = measure_oracle_baseline(data)
+    log(f"oracle single-core decode baseline: {baseline:.1f} MB/s")
+
+    result = {"metric": "lzma2_batched_decode", "value": 0.0,
+              "unit": "MB/s", "vs_baseline": 0.0}
+
+    def finish(value, tag):
+        result["metric"] = f"lzma2_batched_decode_{tag}"
+        result["value"] = round(value, 2)
+        result["vs_baseline"] = round(value / baseline, 3)
+        print(json.dumps(result), flush=True)
+
+    def on_timeout(_sig, _frm):
+        log("device path timed out; falling back to native-engine number")
+        t0 = time.time()
+        out = framing.decode(stream, prop, engine="native")
+        v = len(data) / (time.time() - t0) / 1e6
+        assert out == data
+        finish(v, "native_fallback")
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, on_timeout)
+    signal.alarm(timeout_s)
+
+    from lzma_sdk_zliblike_tpu.parallel.scheduler import (BatchedLzma2Decoder,
+                                                          BatchShape)
+    shape = BatchShape(n_lanes=lanes, pack_cap=min(chunk + 4096, 1 << 16),
+                       dic_cap=chunk)
+    dec = BatchedLzma2Decoder(shape)
+    log("warmup/compile...")
+    t = time.time()
+    warm = dec.decode(stream[:], prop)
+    ok = warm == data
+    log(f"warmup: {time.time()-t:.1f}s bit-exact={ok}")
+    if not ok:
+        log("MISMATCH — falling back to native")
+        signal.alarm(0)
+        on_timeout(None, None)
+        return 1
+    t = time.time()
+    out = dec.decode(stream, prop)
+    dt = time.time() - t
+    signal.alarm(0)
+    assert out == data
+    finish(len(data) / dt / 1e6, "tpu")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
