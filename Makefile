@@ -31,13 +31,15 @@ $(BUILD)/oracle_driver: tools/oracle_driver.c
 	  $(REF)/LzmaEnc.c $(REF)/LzFind.c $(REF)/Alloc.c $(REF)/Lzma2Enc.c \
 	  $(REF)/Lzma2Dec.c $(REF)/XzEnc.c $(REF)/Xz.c $(REF)/7zCrc.c \
 	  $(REF)/7zCrcOpt.c $(REF)/Sha256.c $(REF)/XzCrc64.c $(REF)/Lzma86Enc.c \
-	  $(REF)/Lzma86Dec.c $(REF)/Bcj2.c $(REF)/Bra86.c $(REF)/Bra.c $(REF)/BraIA64.c $(REF)/Delta.c $(REF)/CpuArch.c
+	  $(REF)/Lzma86Dec.c $(REF)/Bcj2.c $(REF)/Ppmd7.c $(REF)/Ppmd7Dec.c $(REF)/Ppmd7Enc.c $(REF)/Bra86.c $(REF)/Bra.c $(REF)/BraIA64.c $(REF)/Delta.c $(REF)/CpuArch.c
 
 $(BUILD)/oracle_7z: $(BUILD)/oracle_shims.c
-	gcc $(CFLAGS) -o $@ $(REF)/7zMain.c $(REF)/7zIn.c $(REF)/7zDec.c \
+	gcc $(CFLAGS) -D_7ZIP_PPMD_SUPPPORT -o $@ $(REF)/7zMain.c $(REF)/7zIn.c \
+	  $(REF)/7zDec.c \
 	  $(REF)/7zAlloc.c $(REF)/7zBuf.c $(REF)/7zBuf2.c $(REF)/7zCrc.c \
 	  $(REF)/7zCrcOpt.c $(REF)/CpuArch.c $(REF)/LzmaDec.c $(REF)/Lzma2Dec.c \
 	  $(REF)/Bra.c $(REF)/Bra86.c $(REF)/BraIA64.c $(REF)/Bcj2.c \
+	  $(REF)/Ppmd7.c $(REF)/Ppmd7Dec.c \
 	  $(REF)/7zFile.c $(REF)/7zStream.c $(REF)/Alloc.c $(BUILD)/oracle_shims.c
 
 FORK_OBJS := 7zIn 7zDec 7zAlloc 7zBuf 7zBuf2 7zCrc 7zCrcOpt CpuArch LzmaDec \

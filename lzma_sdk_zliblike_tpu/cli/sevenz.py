@@ -21,7 +21,8 @@ from ..containers import sevenzip as SZ
 from ..streams import extract7z
 from ..utils.errors import LzmaError
 
-_METHODS = {"copy": SZ.M_COPY, "lzma": SZ.M_LZMA, "lzma2": SZ.M_LZMA2}
+_METHODS = {"copy": SZ.M_COPY, "lzma": SZ.M_LZMA, "lzma2": SZ.M_LZMA2,
+            "ppmd": SZ.M_PPMD}
 
 
 def main(argv: list[str] | None = None) -> int:

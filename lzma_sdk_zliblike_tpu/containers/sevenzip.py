@@ -709,6 +709,12 @@ def write(files: dict[str, bytes], *, method: int = M_LZMA2,
             stream, prop = framing.encode(payload, dict_size=dict_size,
                                           engine=engine)
             return stream, (M_LZMA2, bytes([prop]))
+        if method == M_PPMD:
+            from ..models.ppmd7 import codec as ppmd
+            order = 6
+            mem = max(1 << 20, min(dict_size, 1 << 28))
+            stream, props = ppmd.encode(payload, order, mem)
+            return stream, (M_PPMD, props)
         raise UnsupportedError(f"writer method {method:#x}")
 
     pack_streams: list[bytes] = []

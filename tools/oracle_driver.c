@@ -218,6 +218,9 @@ static int cmd_crc(const char *which, const char *inp) {
   return 0;
 }
 
+int cmd_ppmd7e(int order, UInt32 mem, const char *inp, const char *outp);
+int cmd_ppmd7d(int order, UInt32 mem, size_t outSize, const char *inp, const char *outp);
+
 int main(int argc, char **argv) {
   if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 1; }
   if (!strcmp(argv[1], "lzma2e") && argc == 5)
@@ -231,6 +234,11 @@ int main(int argc, char **argv) {
                       argv[5], argv[6]);
   if (!strcmp(argv[1], "crc") && argc == 4)
     return cmd_crc(argv[2], argv[3]);
+  if (!strcmp(argv[1], "ppmd7e") && argc == 6)
+    return cmd_ppmd7e(atoi(argv[2]), (UInt32)strtoul(argv[3], 0, 0), argv[4], argv[5]);
+  if (!strcmp(argv[1], "ppmd7d") && argc == 7)
+    return cmd_ppmd7d(atoi(argv[2]), (UInt32)strtoul(argv[3], 0, 0),
+                      (size_t)strtoul(argv[4], 0, 0), argv[5], argv[6]);
   if (!strcmp(argv[1], "bcj2d") && argc == 8)
     return cmd_bcj2d(argv[2], argv[3], argv[4], argv[5], argv[6],
                      (size_t)strtoul(argv[7], 0, 0));
@@ -239,4 +247,54 @@ int main(int argc, char **argv) {
                      (UInt32)strtoul(argv[5], 0, 0), argv[6], argv[7]);
   fprintf(stderr, "bad args\n");
   return 1;
+}
+/* appended: PPMd7 oracle commands */
+#include "Ppmd7.h"
+
+typedef struct { IByteIn p; const Byte *buf; size_t pos, size; } MemByteIn;
+static Byte MemByteIn_Read(void *pp) {
+  MemByteIn *p = (MemByteIn *)pp;
+  return p->pos < p->size ? p->buf[p->pos++] : 0;
+}
+typedef struct { IByteOut p; MemOut *mo; } MemByteOut;
+static void MemByteOut_Write(void *pp, Byte b) {
+  MemByteOut *p = (MemByteOut *)pp;
+  MemOut_Write(p->mo, &b, 1);
+}
+
+int cmd_ppmd7e(int order, UInt32 mem, const char *inp, const char *outp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  CPpmd7 ppmd; Ppmd7_Construct(&ppmd);
+  if (!Ppmd7_Alloc(&ppmd, mem, &g_alloc)) return 3;
+  Ppmd7_Init(&ppmd, order);
+  CPpmd7z_RangeEnc rc; Ppmd7z_RangeEnc_Init(&rc);
+  MemOut mo = { { MemOut_Write }, malloc(1 << 16), 0, 1 << 16 };
+  MemByteOut bo = { { MemByteOut_Write }, &mo };
+  rc.Stream = &bo.p;
+  for (size_t i = 0; i < n; i++)
+    Ppmd7_EncodeSymbol(&ppmd, &rc, data[i]);
+  Ppmd7z_RangeEnc_FlushData(&rc);
+  write_file(outp, mo.buf, mo.pos);
+  return 0;
+}
+
+int cmd_ppmd7d(int order, UInt32 mem, size_t outSize, const char *inp,
+               const char *outp) {
+  size_t n; Byte *data = read_file(inp, &n);
+  CPpmd7 ppmd; Ppmd7_Construct(&ppmd);
+  if (!Ppmd7_Alloc(&ppmd, mem, &g_alloc)) return 3;
+  Ppmd7_Init(&ppmd, order);
+  CPpmd7z_RangeDec rc; Ppmd7z_RangeDec_CreateVTable(&rc);
+  MemByteIn bi = { { MemByteIn_Read }, data, 0, n };
+  rc.Stream = &bi.p;
+  if (!Ppmd7z_RangeDec_Init(&rc)) return 3;
+  Byte *out = malloc(outSize ? outSize : 1);
+  for (size_t i = 0; i < outSize; i++) {
+    int sym = Ppmd7_DecodeSymbol(&ppmd, &rc.p);
+    if (sym < 0) { fprintf(stderr, "sym err %d at %zu\n", sym, i); return 3; }
+    out[i] = (Byte)sym;
+  }
+  if (!Ppmd7z_RangeDec_IsFinishedOK(&rc)) { fprintf(stderr, "rc tail\n"); return 3; }
+  write_file(outp, out, outSize);
+  return 0;
 }
