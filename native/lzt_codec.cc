@@ -9,6 +9,7 @@
 // exactly (same hash chains, same lazy heuristics) so the two backends are
 // byte-for-byte cross-checkable.
 
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <memory>
@@ -389,6 +390,35 @@ class MatchFinder {
     head_[h] = i;
   }
 
+  // collect (len, dist) candidate pairs of strictly increasing length
+  // (shortest-distance-first chain order), for the optimal parser
+  int candidates(size_t i, unsigned (*lens)[32], u32 (*dists)[32]) {
+    int cnt = 0;
+    if (i + 4 > n_) return 0;
+    auto it = head_.find(hash_at(i));
+    int64_t cand = it == head_.end() ? -1 : (int64_t)it->second;
+    int chain = max_chain_;
+    const size_t limit = (n_ - i) < 273 ? (n_ - i) : 273;
+    const int64_t min_pos = (int64_t)i - (int64_t)dict_size_;
+    unsigned bl = 0;
+    while (cand >= 0 && chain > 0 && cand >= min_pos && cnt < 32) {
+      if (i + bl < n_ && data_[cand + bl] == data_[i + bl]) {
+        size_t ln = 0;
+        while (ln < limit && data_[cand + ln] == data_[i + ln]) ln++;
+        if (ln > bl) {
+          bl = (unsigned)ln;
+          (*lens)[cnt] = bl;
+          (*dists)[cnt] = (u32)(i - cand);
+          cnt++;
+          if (bl >= (unsigned)nice_len_) break;
+        }
+      }
+      cand = prev_[cand];
+      chain--;
+    }
+    return cnt;
+  }
+
   void best_match(size_t i, size_t hard_end, unsigned* best_len,
                   u32* best_dist) {
     *best_len = 0;
@@ -456,6 +486,341 @@ class Encoder {
     probs_ = s.probs;
     state_ = s.state;
     for (int i = 0; i < 4; i++) rep_[i] = s.rep[i];
+  }
+
+  // ---- price tables (1/16-bit fixed point) -------------------------------
+  // ProbPrice[v] ≈ -16·log2(((v<<4)|8)/2048): the reference quantizes the
+  // same way (LzmaEnc_InitPriceTables, LzmaEnc.c:600-621 as parity target).
+  static const u16* prob_prices() {
+    static u16 t[128];
+    static bool init = false;
+    if (!init) {
+      for (int v = 0; v < 128; v++) {
+        double pr = ((v << 4) | 8) / 2048.0;
+        double bits = -std::log2(pr);
+        t[v] = (u16)(bits * 16 + 0.5);
+      }
+      init = true;
+    }
+    return t;
+  }
+
+  inline u32 price_bit(int idx, int b) const {
+    const u16 p = probs_[idx];
+    const u16* pp = prob_prices();
+    return b ? pp[(2048 - p) >> 4] : pp[p >> 4];
+  }
+
+  u32 price_tree(int base, int nbits, unsigned sym) const {
+    u32 m = 1, price = 0;
+    for (int i = nbits - 1; i >= 0; i--) {
+      const unsigned b = (sym >> i) & 1;
+      price += price_bit(base + m, b);
+      m = (m << 1) | b;
+    }
+    return price;
+  }
+
+  u32 price_tree_rev(int base, int nbits, unsigned sym) const {
+    u32 m = 1, price = 0;
+    for (int i = 0; i < nbits; i++) {
+      const unsigned b = sym & 1;
+      sym >>= 1;
+      price += price_bit(base + m, b);
+      m = (m << 1) | b;
+    }
+    return price;
+  }
+
+  u32 price_len(int base, u32 pos_state, unsigned len) const {
+    const unsigned sym = len - kMatchMinLen;
+    if (sym < 8)
+      return price_bit(base + LEN_CHOICE, 0) +
+             price_tree(base + LEN_LOW + (pos_state << 3), 3, sym);
+    if (sym < 16)
+      return price_bit(base + LEN_CHOICE, 1) +
+             price_bit(base + LEN_CHOICE2, 0) +
+             price_tree(base + LEN_MID + (pos_state << 3), 3, sym - 8);
+    return price_bit(base + LEN_CHOICE, 1) + price_bit(base + LEN_CHOICE2, 1) +
+           price_tree(base + LEN_HIGH, 8, sym - 16);
+  }
+
+  u32 price_dist(unsigned len, u32 dist) const {
+    const unsigned lt = (len - kMatchMinLen) < 4 ? len - kMatchMinLen : 3;
+    const unsigned slot = pos_slot(dist);
+    u32 price = price_tree(POS_SLOT + (lt << 6), 6, slot);
+    if (slot >= 4) {
+      const unsigned nd = (slot >> 1) - 1;
+      const u32 base = (2 | (slot & 1)) << nd;
+      const u32 rem = dist - base;
+      if (slot < 14)
+        price += price_tree_rev(SPEC_POS + base - slot - 1, nd, rem);
+      else
+        price += (nd - 4) * 16 + price_tree_rev(ALIGN_, 4, rem & 15);
+    }
+    return price;
+  }
+
+  u32 price_literal(u32 pos_state_unused, u32 pos, const u8* data, size_t i,
+                    size_t dic_start, int state, u32 rep0) const {
+    const u32 lp_mask = (1u << lp_) - 1;
+    const u8 prev = i > dic_start ? data[i - 1] : 0;
+    const u32 lit_state = ((pos & lp_mask) << lc_) + (prev >> (8 - lc_));
+    const u16* base = &probs_[LITERAL + 0x300 * lit_state];
+    const unsigned sym = data[i];
+    const u16* pp = prob_prices();
+    u32 price = 0;
+    if (state < 7) {
+      unsigned m = 1;
+      for (int bi = 7; bi >= 0; bi--) {
+        const unsigned b = (sym >> bi) & 1;
+        const u16 p = base[m];
+        price += b ? pp[(2048 - p) >> 4] : pp[p >> 4];
+        m = (m << 1) | b;
+      }
+    } else {
+      // matched literal (needs the match byte)
+      if ((int64_t)i - rep0 - 1 < (int64_t)dic_start) return 0xFFFFFFF;
+      unsigned mb = data[i - rep0 - 1];
+      unsigned offs = 0x100;
+      unsigned m = 1;
+      for (int bi = 7; bi >= 0; bi--) {
+        const unsigned b = (sym >> bi) & 1;
+        mb <<= 1;
+        const unsigned bc = mb & offs;
+        const u16 p = base[offs + bc + m];
+        price += b ? pp[(2048 - p) >> 4] : pp[p >> 4];
+        m = (m << 1) | b;
+        offs &= b ? bc : ~bc;
+      }
+    }
+    return price;
+  }
+
+  // Optimal-ish parse: shortest-path DP with live-prob prices over blocks.
+  // Approximation vs the reference's GetOptimum: arrival (state, rep0) is
+  // tracked per node from its best predecessor; rep1..3 are priced only at
+  // emission time (the emitter still uses full rep coding when distances
+  // coincide).  Parity target: compressed size ≤ the reference's BT4+optimal.
+  std::vector<u8> encode_segment_opt(const u8* data, size_t total_n,
+                                     size_t start, size_t end,
+                                     size_t dic_start, bool end_mark) {
+    RangeEncoder rc;
+    const u32 pb_mask = (1u << pb_) - 1;
+    MatchFinder mf(data, total_n, dict_size_, max_chain_, nice_len_);
+    for (size_t j = dic_start; j < start; j++) mf.insert(j);
+
+    const size_t BLOCK = 0x1000;
+    size_t i = start;
+    while (i < end) {
+      const size_t bend = (i + BLOCK < end) ? i + BLOCK : end;
+      const size_t W = bend - i;
+      // DP arrays over [0..W]
+      std::vector<u32> cost(W + 1, 0xFFFFFFFFu);
+      std::vector<u32> from(W + 1, 0);
+      std::vector<u32> op_len(W + 1, 0);
+      std::vector<u32> op_dist(W + 1, 0);   // 0 = literal; 1 = rep0; else dist+2
+      std::vector<u8> arr_state(W + 1, 0);
+      std::vector<u32> arr_rep0(W + 1, 0);
+      cost[0] = 0;
+      arr_state[0] = (u8)state_;
+      arr_rep0[0] = rep_[0];
+      unsigned lens[32];
+      u32 dists[32];
+      for (size_t j = 0; j < W; j++) {
+        if (cost[j] == 0xFFFFFFFFu) { mf.insert(i + j); continue; }
+        const size_t pos_abs = i + j;
+        const u32 pos = (u32)(pos_abs - dic_start);
+        const u32 pos_state = pos & pb_mask;
+        const int st = arr_state[j];
+        const u32 r0 = arr_rep0[j];
+        const int ism_idx = IS_MATCH + (st << kPosBitsMax) + pos_state;
+        // literal
+        {
+          const u32 c = cost[j] + price_bit(ism_idx, 0) +
+                        price_literal(0, pos, data, pos_abs, dic_start, st, r0);
+          if (c < cost[j + 1]) {
+            cost[j + 1] = c;
+            from[j + 1] = (u32)j;
+            op_len[j + 1] = 1;
+            op_dist[j + 1] = 0;
+            arr_state[j + 1] = (u8)state_after_literal(st);
+            arr_rep0[j + 1] = r0;
+          }
+        }
+        // rep0 match
+        {
+          const int64_t fromp = (int64_t)pos_abs - r0 - 1;
+          if (fromp >= (int64_t)dic_start) {
+            size_t ln = 0;
+            const size_t lim =
+                (end - pos_abs) < 273 ? end - pos_abs : 273;
+            while (ln < lim && data[fromp + ln] == data[pos_abs + ln]) ln++;
+            if (ln >= 2) {
+              const u32 base_price = cost[j] + price_bit(ism_idx, 1) +
+                  price_bit(IS_REP + st, 1) + price_bit(IS_REP_G0 + st, 0) +
+                  price_bit(IS_REP0_LONG + (st << kPosBitsMax) + pos_state, 1);
+              const size_t maxl = ln < (W - j) ? ln : (W - j);
+              for (size_t l = 2; l <= maxl; l++) {
+                const u32 c = base_price +
+                    price_len(REP_LEN_CODER, pos_state, (unsigned)l);
+                if (c < cost[j + l]) {
+                  cost[j + l] = c;
+                  from[j + l] = (u32)j;
+                  op_len[j + l] = (u32)l;
+                  op_dist[j + l] = r0 + 2;  // emitter re-derives the rep form
+                  arr_state[j + l] = (u8)(st < 7 ? 8 : 11);
+                  arr_rep0[j + l] = r0;
+                }
+              }
+            }
+          }
+        }
+        // normal matches
+        const int nc = mf.candidates(pos_abs, &lens, &dists);
+        mf.insert(pos_abs);
+        unsigned prev_len = 1;
+        for (int k = 0; k < nc; k++) {
+          unsigned ml = lens[k];
+          const u32 dist = dists[k] - 1;
+          if (ml > end - pos_abs) ml = (unsigned)(end - pos_abs);
+          if (ml > W - j) ml = (unsigned)(W - j);
+          if (ml < 2) continue;
+          const u32 head = cost[j] + price_bit(ism_idx, 1) +
+                           price_bit(IS_REP + st, 0);
+          for (unsigned l = prev_len + 1; l <= ml; l++) {
+            if (l < 2) continue;
+            const u32 c = head + price_len(LEN_CODER, pos_state, l) +
+                          price_dist(l, dist);
+            if (c < cost[j + l]) {
+              cost[j + l] = c;
+              from[j + l] = (u32)j;
+              op_len[j + l] = l;
+              op_dist[j + l] = dist + 2;
+              arr_state[j + l] = (u8)(st < 7 ? 7 : 10);
+              arr_rep0[j + l] = dist;
+            }
+          }
+          prev_len = ml;
+        }
+      }
+      // backtrack the block, then emit forward through the adaptive coder
+      std::vector<size_t> order;
+      for (size_t j = W; j > 0; j = from[j]) order.push_back(j);
+      for (size_t oi = order.size(); oi-- > 0;) {
+        const size_t j = order[oi];
+        const size_t pos_abs = i + from[j];
+        const unsigned l = op_len[j];
+        const u32 od = op_dist[j];
+        if (od == 0) {
+          emit_literal(rc, data, pos_abs, dic_start);
+        } else {
+          emit_match(rc, data, pos_abs, dic_start, od - 2, l);
+        }
+      }
+      i = bend;
+    }
+
+    if (end_mark) {
+      const u32 pos_state = (u32)(end - dic_start) & pb_mask;
+      rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 1);
+      rc.encode_bit(&probs_[IS_REP + state_], 0);
+      encode_len(rc, LEN_CODER, pos_state, kMatchMinLen);
+      encode_dist(rc, kMatchMinLen, 0xFFFFFFFFu);
+      state_ = state_ < 7 ? 7 : 10;
+      rep_[3] = rep_[2]; rep_[2] = rep_[1]; rep_[1] = rep_[0];
+      rep_[0] = 0xFFFFFFFFu;
+    }
+    rc.flush();
+    return std::move(rc.out);
+  }
+
+  // ---- emission helpers (update the real adaptive model) ----------------
+  void emit_literal(RangeEncoder& rc, const u8* data, size_t i,
+                    size_t dic_start) {
+    const u32 pb_mask = (1u << pb_) - 1;
+    const u32 lp_mask = (1u << lp_) - 1;
+    const u32 pos = (u32)(i - dic_start);
+    const u32 pos_state = pos & pb_mask;
+    rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 0);
+    const u8 prev = i > dic_start ? data[i - 1] : 0;
+    const u32 lit_state = ((pos & lp_mask) << lc_) + (prev >> (8 - lc_));
+    u16* base = &probs_[LITERAL + 0x300 * lit_state];
+    const unsigned sym = data[i];
+    if (state_ < 7) {
+      unsigned m = 1;
+      for (int bi = 7; bi >= 0; bi--) {
+        const unsigned b = (sym >> bi) & 1;
+        rc.encode_bit(&base[m], b);
+        m = (m << 1) | b;
+      }
+    } else {
+      unsigned mb = data[i - rep_[0] - 1];
+      unsigned offs = 0x100;
+      unsigned m = 1;
+      for (int bi = 7; bi >= 0; bi--) {
+        const unsigned b = (sym >> bi) & 1;
+        mb <<= 1;
+        const unsigned bc = mb & offs;
+        rc.encode_bit(&base[offs + bc + m], b);
+        m = (m << 1) | b;
+        offs &= b ? bc : ~bc;
+      }
+    }
+    state_ = state_after_literal(state_);
+  }
+
+  void emit_rep(RangeEncoder& rc, const u8* data, size_t i, size_t dic_start,
+                int ri, unsigned len) {
+    const u32 pb_mask = (1u << pb_) - 1;
+    const u32 pos_state = (u32)(i - dic_start) & pb_mask;
+    rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 1);
+    rc.encode_bit(&probs_[IS_REP + state_], 1);
+    if (ri == 0) {
+      rc.encode_bit(&probs_[IS_REP_G0 + state_], 0);
+      rc.encode_bit(
+          &probs_[IS_REP0_LONG + (state_ << kPosBitsMax) + pos_state], 1);
+    } else {
+      rc.encode_bit(&probs_[IS_REP_G0 + state_], 1);
+      if (ri == 1) {
+        rc.encode_bit(&probs_[IS_REP_G1 + state_], 0);
+        const u32 d = rep_[1];
+        rep_[1] = rep_[0];
+        rep_[0] = d;
+      } else if (ri == 2) {
+        rc.encode_bit(&probs_[IS_REP_G1 + state_], 1);
+        rc.encode_bit(&probs_[IS_REP_G2 + state_], 0);
+        const u32 d = rep_[2];
+        rep_[2] = rep_[1]; rep_[1] = rep_[0]; rep_[0] = d;
+      } else {
+        rc.encode_bit(&probs_[IS_REP_G1 + state_], 1);
+        rc.encode_bit(&probs_[IS_REP_G2 + state_], 1);
+        const u32 d = rep_[3];
+        rep_[3] = rep_[2]; rep_[2] = rep_[1]; rep_[1] = rep_[0]; rep_[0] = d;
+      }
+    }
+    encode_len(rc, REP_LEN_CODER, pos_state, len);
+    state_ = state_ < 7 ? 8 : 11;
+  }
+
+  void emit_match(RangeEncoder& rc, const u8* data, size_t i, size_t dic_start,
+                  u32 dist, unsigned len) {
+    // if the distance equals a current rep, emit the cheaper rep form
+    for (int ri = 0; ri < 4; ri++) {
+      if (rep_[ri] == dist) {
+        emit_rep(rc, data, i, dic_start, ri, len);
+        return;
+      }
+    }
+    const u32 pb_mask = (1u << pb_) - 1;
+    const u32 pos_state = (u32)(i - dic_start) & pb_mask;
+    rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 1);
+    rc.encode_bit(&probs_[IS_REP + state_], 0);
+    rep_[3] = rep_[2]; rep_[2] = rep_[1]; rep_[1] = rep_[0];
+    rep_[0] = dist;
+    encode_len(rc, LEN_CODER, pos_state, len);
+    encode_dist(rc, len, dist);
+    state_ = state_ < 7 ? 7 : 10;
   }
 
   // Encode data[start:end); data[dic_start:start) is dictionary history.
@@ -762,10 +1127,12 @@ int lzt_lzma_encode(const uint8_t* src, size_t n, uint8_t* dst,
                     uint32_t dict_size, int end_mark, int effort) {
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
     return lzt::ERR_PARAM;
-  const int chain = effort >= 7 ? 48 : 16;
-  const int nice = 64;
+  const bool opt = effort >= 10;
+  const int chain = opt ? 128 : (effort >= 7 ? 48 : 16);
+  const int nice = opt ? 273 : 64;
   lzt::Encoder enc(lc, lp, pb, dict_size, chain, nice);
-  auto out = enc.encode_segment(src, n, 0, n, 0, end_mark != 0);
+  auto out = opt ? enc.encode_segment_opt(src, n, 0, n, 0, end_mark != 0)
+                 : enc.encode_segment(src, n, 0, n, 0, end_mark != 0);
   if (out.size() > *dst_len) return lzt::ERR_OUTPUT_EOF;
   std::memcpy(dst, out.data(), out.size());
   *dst_len = out.size();
@@ -815,10 +1182,11 @@ int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
   if (group_size > (1u << 21)) return ERR_PARAM;
   const size_t sub = sub_max < group_size ? sub_max : group_size;
 
-  // match the Python reference finder parameters (48/64) so the two
-  // backends stay byte-for-byte cross-checkable
-  (void)effort;
-  Encoder enc(lc, lp, pb, real_dict, 48, 64);
+  // effort ≤ 9 matches the Python reference finder parameters (48/64) so
+  // the two backends stay byte-for-byte cross-checkable; effort ≥ 10 uses
+  // the price-based optimal parser with a deeper finder
+  const bool opt = effort >= 10;
+  Encoder enc(lc, lp, pb, real_dict, opt ? 128 : 48, opt ? 273 : 64);
   const u8 props_byte = (u8)((pb * 5 + lp) * 9 + lc);
 
   bool props_sent = false;
@@ -835,7 +1203,10 @@ int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
       const size_t end = pos + sub < group_end ? pos + sub : group_end;
       const size_t unpack = end - pos;
       auto snap = enc.save();
-      auto body = enc.encode_segment(src, n, pos, end, group_start, false);
+      auto body = opt ? enc.encode_segment_opt(src, n, pos, end, group_start,
+                                               false)
+                      : enc.encode_segment(src, n, pos, end, group_start,
+                                           false);
       const size_t lim = unpack < (1u << 16) ? unpack : (1u << 16);
       if (body.size() < lim) {
         int mode = first ? 3 : (need_reset ? (props_sent ? 1 : 2) : 0);
