@@ -36,11 +36,27 @@ def uncompress(stream: bytes, props_bytes: bytes, unpack_size: int,
 def lzma2_compress(data: bytes, *, level: int = 5,
                    dict_size: int | None = None,
                    chunk_size: int | None = None,
+                   threads: int | None = None,
+                   effort: int = 9,
+                   progress=None,
                    engine: str = "auto") -> tuple[bytes, int]:
-    """Compress to a raw LZMA2 stream. Returns ``(stream, dict_prop_byte)``."""
+    """Compress to a raw LZMA2 stream. Returns ``(stream, dict_prop_byte)``.
+
+    ``threads``: block-parallel encoding over dict-reset groups (the
+    MtCoder equivalent; output is identical at any thread count).
+    ``effort``: ≤9 greedy/lazy; 10 = price-based optimal parse.
+    ``progress(done_bytes, out_bytes)``: return False to abort
+    (ICompressProgress semantics, Types.h:220-225).
+    """
     from .models.lzma2 import framing
     if dict_size is None:
         dict_size = default_dict_size(level)
+    if threads is not None and threads != 1 and engine in ("auto", "native"):
+        from .parallel.host_pool import encode_lzma2_mt
+        return encode_lzma2_mt(data, dict_size=dict_size,
+                               chunk_size=chunk_size or (1 << 20),
+                               threads=threads, effort=effort,
+                               progress=progress)
     return framing.encode(data, dict_size=dict_size, chunk_size=chunk_size,
                           engine=engine)
 

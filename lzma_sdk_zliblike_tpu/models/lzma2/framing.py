@@ -266,15 +266,20 @@ def encode(data: bytes, *, dict_size: int = 1 << 24,
     props_sent = False
     while group_start < n:
         group_end = min(group_start + chunk_size, n) if parallel_groups else n
+        # each dict-reset group is an independent slice: no finder state or
+        # lookahead crosses group boundaries (keeps parallel/threaded group
+        # encoding byte-identical)
+        gdata = data[group_start:group_end]
+        gn = group_end - group_start
         enc.reset_state()
         first_of_group = True
         need_state_reset = True  # fresh group: state must be (re)declared
-        pos = group_start
-        while pos < group_end:
-            end = min(pos + sub_unpack, group_end)
+        pos = 0
+        while pos < gn:
+            end = min(pos + sub_unpack, gn)
             unpack = end - pos
             snap = enc.save_state()
-            body = enc.encode_segment(data, pos, end, dic_start=group_start)
+            body = enc.encode_segment(gdata, pos, end, dic_start=0)
             if len(body) < min(unpack, CHUNK_PACK_MAX):
                 if first_of_group:
                     mode = MODE_STATE_PROPS_DIC
@@ -297,7 +302,7 @@ def encode(data: bytes, *, dict_size: int = 1 << 24,
                     cend = min(cpos + CHUNK_PACK_MAX, end)
                     out += _chunk_header(False, 0, cend - cpos, cend - cpos,
                                          None, first_of_group)
-                    out += data[cpos:cend]
+                    out += gdata[cpos:cend]
                     first_of_group = False
                     cpos = cend
                 need_state_reset = True

@@ -64,8 +64,10 @@ def _family_shapes(lc: int, lp: int) -> dict[str, int]:
         "is_rep_g1": S.NUM_STATES,
         "is_rep_g2": S.NUM_STATES,
         "is_rep0_long": S.NUM_STATES << S.NUM_POS_BITS_MAX,
-        "spec_pos": S.NUM_SPEC_POS,                          # computed idx
-        "align": S.ALIGN_TABLE_SIZE,                         # tree node m
+        # spec-pos reverse trees (computed flat idx) with the align tree
+        # appended at offset NUM_SPEC_POS — they serve disjoint lane sets in
+        # the same decode phase, so one family loop handles both
+        "spec_align": S.NUM_SPEC_POS + S.ALIGN_TABLE_SIZE,
         "len_choice": 2 * 2,                                 # coder*2+which
     }
     # pos-slot tree levels: idx = lt_ps * 2^k + (m - 2^k)
@@ -425,21 +427,8 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         dist = jnp.where(big,
                          (2 | (slot & 1)).astype(_U32) << nd.astype(_U32),
                          slot.astype(_U32))
-        # spec-pos reverse tree (slots 4..13, ≤ 5 bits, computed flat idx)
         specs = big & (slot < S.END_POS_MODEL_INDEX)
         spec_base = dist.astype(_I32) - slot - 1
-        st = _refill(st, src32, specs)
-        m = jnp.ones((n,), _I32)
-        sym_r = jnp.zeros((n,), _I32)
-        for i in range(5):
-            act = specs & (i < nd)
-            if i == 4:
-                st = _refill(st, src32, act)
-            st, bsp = _bit(st, pack_len, "spec_pos",
-                                 spec_base + m, act)
-            m = jnp.where(act, (m << 1) | bsp, m)
-            sym_r = jnp.where(act, sym_r | (bsp << i), sym_r)
-        dist = jnp.where(specs, dist + sym_r.astype(_U32), dist)
 
         # direct bits (register renorm, ≤ 26 via dynamic while)
         directs = big & (slot >= S.END_POS_MODEL_INDEX)
@@ -486,14 +475,22 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         st = st._replace(rng=rng_, code=code_, la=la_, la_cnt=lac_,
                          inpos=inp_, consumed=cons_, err=derr_)
 
-        # align reverse tree (4 bits)
-        st = _refill(st, src32, directs)
+        # merged reverse trees: spec-pos (slots 4..13, ≤ 5 bits) and align
+        # (4 bits, after the direct bits) — disjoint lane sets, one loop
+        st = _refill(st, src32, specs | directs)
         m = jnp.ones((n,), _I32)
         sym_r = jnp.zeros((n,), _I32)
-        for i in range(S.NUM_ALIGN_BITS):
-            st, ba = _bit(st, pack_len, "align", m, directs)
-            m = jnp.where(directs, (m << 1) | ba, m)
-            sym_r = jnp.where(directs, sym_r | (ba << i), sym_r)
+        for i in range(5):
+            act_s = specs & (i < nd)
+            act_a = directs & (i < S.NUM_ALIGN_BITS)
+            act = act_s | act_a
+            if i == 4:
+                st = _refill(st, src32, act)
+            idx = jnp.where(act_a, S.NUM_SPEC_POS + m, spec_base + m)
+            st, bsp = _bit(st, pack_len, "spec_align", idx, act)
+            m = jnp.where(act, (m << 1) | bsp, m)
+            sym_r = jnp.where(act, sym_r | (bsp << i), sym_r)
+        dist = jnp.where(specs, dist + sym_r.astype(_U32), dist)
         dist = jnp.where(directs,
                          dist + (dval << S.NUM_ALIGN_BITS)
                          + sym_r.astype(_U32), dist)
@@ -519,33 +516,29 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         st = st._replace(lane=lane, err=err, pend_len=pend_len,
                          pend_dist=pend_dist)
 
-        # ---- copy loop ---------------------------------------------------
-        # slim carry: only (dic, outpos, last_byte, pend_len) — never fams
-        def ccond(c):
-            return jnp.any(c[3] > 0)
-
-        def cbody(c):
-            dic_, op, lb, pl = c
-            pd = jnp.maximum(st.pend_dist, 1)
-            k = jnp.arange(COPY_WIDTH, dtype=_I32)[None, :]
-            srcpos = op[:, None] - pd[:, None] + (k % pd[:, None])
-            vals = jnp.take_along_axis(
-                dic_, jnp.clip(srcpos, 0, dic_.shape[1] - 1), axis=1)
-            wmask = k < pl[:, None]
-            widx = jnp.where(wmask, op[:, None] + k,
-                             dic_.shape[1] - COPY_WIDTH + k)
-            dic_ = dic_.at[jnp.arange(n)[:, None], widx].set(vals)
-            step = jnp.minimum(pl, COPY_WIDTH)
-            nlast = _gather_dic(dic_, op + step - 1)
-            return (dic_, op + step,
-                    jnp.where(pl > 0, nlast, lb), pl - step)
-
-        dic_f, op_f, lb_f, pl_f = jax.lax.while_loop(
-            ccond, cbody,
-            (st.lane.dic, st.lane.outpos, st.lane.last_byte, st.pend_len))
+        # ---- one inline copy step (COPY_WIDTH bytes per iteration) -------
+        # lanes with pend_len > 0 skip packet decode (the `do` mask) and
+        # advance their match copy here; a nested while_loop would force XLA
+        # to materialize the dic carry around it every iteration
+        dic_ = st.lane.dic
+        op = st.lane.outpos
+        pl = st.pend_len
+        pd = jnp.maximum(st.pend_dist, 1)
+        k = jnp.arange(COPY_WIDTH, dtype=_I32)[None, :]
+        srcpos = op[:, None] - pd[:, None] + (k % pd[:, None])
+        vals = jnp.take_along_axis(
+            dic_, jnp.clip(srcpos, 0, dic_.shape[1] - 1), axis=1)
+        wmask = k < pl[:, None]
+        widx = jnp.where(wmask, op[:, None] + k,
+                         dic_.shape[1] - COPY_WIDTH + k)
+        dic_ = dic_.at[jnp.arange(n)[:, None], widx].set(vals)
+        step = jnp.minimum(pl, COPY_WIDTH)
+        nlast = _gather_dic(dic_, op + step - 1)
         st = st._replace(
-            lane=st.lane._replace(dic=dic_f, outpos=op_f, last_byte=lb_f),
-            pend_len=pl_f)
+            lane=st.lane._replace(
+                dic=dic_, outpos=op + step,
+                last_byte=jnp.where(pl > 0, nlast, st.lane.last_byte)),
+            pend_len=pl - step)
         return st
 
     st, n_iters = jax.lax.while_loop(cond, body_wrap, (st, jnp.int32(0)))

@@ -75,8 +75,12 @@ class BatchedLzma2Decoder:
                 device_idx.append(gi)
             else:
                 results[gi] = framing.decode_chunks(stream, g)
-        # batch the device-eligible groups
+        # batch the device-eligible groups; sort by packed size so each
+        # batch holds similar per-lane work (iteration count = max packets
+        # over the batch's lanes — heterogeneous batches straggle)
         s = self.shape
+        device_idx.sort(
+            key=lambda gi: -sum(c.pack_size for c in groups[gi]))
         for base in range(0, len(device_idx), s.n_lanes):
             lane_groups = device_idx[base:base + s.n_lanes]
             outs = self._decode_batch(stream, [groups[i] for i in lane_groups])

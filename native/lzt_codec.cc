@@ -1195,18 +1195,21 @@ int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
     const size_t group_end =
         parallel ? (group_start + group_size < n ? group_start + group_size : n)
                  : n;
+    // each dict-reset group is an independent slice: no match-finder state
+    // or lookahead crosses group boundaries (also keeps multi-threaded
+    // group encoding byte-identical to this single-threaded loop)
+    const u8* gsrc = src + group_start;
+    const size_t gn = group_end - group_start;
     enc.reset_state();
     bool first = true;
     bool need_reset = true;
-    size_t pos = group_start;
-    while (pos < group_end) {
-      const size_t end = pos + sub < group_end ? pos + sub : group_end;
+    size_t pos = 0;
+    while (pos < gn) {
+      const size_t end = pos + sub < gn ? pos + sub : gn;
       const size_t unpack = end - pos;
       auto snap = enc.save();
-      auto body = opt ? enc.encode_segment_opt(src, n, pos, end, group_start,
-                                               false)
-                      : enc.encode_segment(src, n, pos, end, group_start,
-                                           false);
+      auto body = opt ? enc.encode_segment_opt(gsrc, gn, pos, end, 0, false)
+                      : enc.encode_segment(gsrc, gn, pos, end, 0, false);
       const size_t lim = unpack < (1u << 16) ? unpack : (1u << 16);
       if (body.size() < lim) {
         int mode = first ? 3 : (need_reset ? (props_sent ? 1 : 2) : 0);
@@ -1233,7 +1236,7 @@ int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
           dst[w++] = first ? 1 : 2;
           dst[w++] = (u8)((cend - cpos - 1) >> 8);
           dst[w++] = (u8)(cend - cpos - 1);
-          std::memcpy(dst + w, src + cpos, cend - cpos);
+          std::memcpy(dst + w, gsrc + cpos, cend - cpos);
           w += cend - cpos;
           first = false;
           cpos = cend;

@@ -72,3 +72,35 @@ def test_native_error_codes(corpus):
         out = native.lzma_decode(bad, props, 5000)
         if out != corpus["text"][:5000]:
             raise DataError("payload mismatch")
+
+
+def test_mt_encode_identical_any_thread_count(corpus):
+    from lzma_sdk_zliblike_tpu.parallel.host_pool import encode_lzma2_mt
+    data = (corpus["text"] + corpus["binary"] + corpus["random"])[:200_000]
+    s1, p1 = framing.encode(data, dict_size=1 << 16, chunk_size=1 << 16)
+    for nt in (1, 2, 4):
+        sm, pm = encode_lzma2_mt(data, dict_size=1 << 16,
+                                 chunk_size=1 << 16, threads=nt)
+        assert (sm, pm) == (s1, p1)
+    assert framing.decode(s1, p1) == data
+
+
+def test_progress_callback_and_abort(corpus):
+    from lzma_sdk_zliblike_tpu import api
+    from lzma_sdk_zliblike_tpu.utils.errors import ProgressAborted
+    data = corpus["text"][:100_000]
+    calls = []
+    api.lzma2_compress(data, dict_size=1 << 16, chunk_size=1 << 15,
+                       threads=2, progress=lambda a, b: calls.append((a, b)))
+    assert calls and calls[-1][0] == len(data)
+    with pytest.raises(ProgressAborted):
+        api.lzma2_compress(data, dict_size=1 << 16, chunk_size=1 << 15,
+                           threads=2, progress=lambda a, b: False)
+
+
+def test_optimal_effort_smaller(corpus):
+    data = (corpus["text"] + corpus["code"])[:150_000]
+    s9, _ = native.lzma2_encode(data, 1 << 16, 1 << 16, True, effort=9)
+    s10, p10 = native.lzma2_encode(data, 1 << 16, 1 << 16, True, effort=10)
+    assert len(s10) < len(s9)
+    assert framing.decode(s10, p10, engine="python") == data
