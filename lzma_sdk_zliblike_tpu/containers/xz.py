@@ -407,3 +407,309 @@ def read_backward(data: bytes) -> list[XzStreamInfo]:
         end = start
     infos.reverse()
     return infos
+
+
+# ---------------------------------------------------------------------------
+# streaming push decoder (XzUnpacker_Code state machine, XzDec.c:604-870)
+# ---------------------------------------------------------------------------
+
+class XzStreamDecoder:
+    """Incremental .xz decoder: feed bytes, collect output, bounded memory.
+
+    The reference's push parser walks STREAM_HEADER → BLOCK_HEADER → BLOCK →
+    BLOCK_FOOTER → … → INDEX → FOOTER → PADDING (``EXzState``,
+    ``Xz.h:182-192``); this class keeps the same progression with an
+    internal input buffer bounded by one LZMA2 chunk (≤ 64 KB + headers)
+    and a sliding dictionary window on the output side.
+
+    Usage::
+
+        dec = XzStreamDecoder(sink=chunks.append)
+        dec.feed(part1); dec.feed(part2); dec.finish()
+    """
+
+    def __init__(self, sink, *, verify: bool = True):
+        from ..models.lzma.decoder_ref import LzmaDecoder
+        self.sink = sink
+        self.verify = verify
+        self.buf = bytearray()
+        self.state = "STREAM_HEADER"
+        self.check_id = 0
+        self.records = []
+        self.block = None
+        self.win = None
+        self.dec = None
+        self.dic_start = 0
+        self.need_init_state = True
+        self.block_comp = 0
+        self.block_uncomp = 0
+        self.block_check = None
+        self.filters = None
+        self.sfilter = None
+        self.finished_streams = 0
+
+    # -- helpers -----------------------------------------------------------
+    def _have(self, n: int) -> bool:
+        return len(self.buf) >= n
+
+    def _take(self, n: int) -> bytes:
+        r = bytes(self.buf[:n])
+        del self.buf[:n]
+        return r
+
+    def feed(self, data: bytes) -> None:
+        self.buf += data
+        progress = True
+        while progress:
+            progress = self._step()
+
+    def finish(self) -> None:
+        self.feed(b"")
+        # trailing stream padding is legal
+        while self.state == "PADDING" and self._have(4):
+            if any(self.buf[:4]):
+                break
+            self._take(4)
+        if self.state == "PADDING" and not any(self.buf):
+            self.buf.clear()
+            self.state = "DONE" if self.finished_streams else self.state
+        if self.state not in ("DONE",) and not (
+                self.state == "PADDING" and self.finished_streams):
+            raise InputEofError(f"xz stream ended in state {self.state}")
+
+    # -- the state machine -------------------------------------------------
+    def _step(self) -> bool:
+        st = self.state
+        if st == "STREAM_HEADER":
+            if not self._have(12):
+                return False
+            hdr = self._take(12)
+            self.check_id = _parse_stream_header(hdr, 0)
+            self.records = []
+            self.state = "BLOCK_HEADER"
+            return True
+        if st == "BLOCK_HEADER":
+            if not self._have(1):
+                return False
+            if self.buf[0] == 0:
+                self.state = "INDEX"
+                return True
+            size_total = (self.buf[0] + 1) * 4
+            if not self._have(size_total):
+                return False
+            blk = _parse_block_header(bytes(self.buf[:size_total]), 0)
+            self._take(size_total)
+            self._begin_block(blk)
+            return True
+        if st == "BLOCK":
+            return self._block_step()
+        if st == "BLOCK_TAIL":
+            pad = (-self.block_comp) % 4
+            csz = _CHECK_SIZES[self.check_id]
+            if not self._have(pad + csz):
+                return False
+            tail = self._take(pad + csz)
+            if any(tail[:pad]):
+                raise DataError("nonzero block padding")
+            if self.verify and csz:
+                if self._check_stream_digest() != tail[pad:]:
+                    raise CrcError("xz block check mismatch (streaming)")
+            self.records.append(
+                (self.block.header_size + self.block_comp + csz,
+                 self.block_uncomp))
+            self.state = "BLOCK_HEADER"
+            return True
+        if st == "INDEX":
+            return self._index_step()
+        if st == "FOOTER":
+            if not self._have(12):
+                return False
+            ftr = self._take(12)
+            if crc32(ftr[4:10]) != int.from_bytes(ftr[:4], "little"):
+                raise CrcError("footer CRC")
+            if ftr[10:12] != FOOTER_MAGIC:
+                raise DataError("bad footer magic")
+            self.finished_streams += 1
+            self.state = "PADDING"
+            return True
+        if st == "PADDING":
+            while self._have(4) and not any(self.buf[:4]):
+                self._take(4)
+            if self._have(1) and self.buf[0] != 0:
+                self.state = "STREAM_HEADER"
+                return True
+            return False
+        return False
+
+    def _begin_block(self, blk) -> None:
+        from ..streams.window import WindowBuffer
+        if not blk.filters or blk.filters[-1].fid != FILTER_LZMA2:
+            raise UnsupportedError("streaming: last filter must be LZMA2")
+        self.block = blk
+        self.block_comp = 0
+        self.block_uncomp = 0
+        self.dec = None
+        self.need_init_state = True
+        self.dic_start = 0
+        pre = blk.filters[:-1]
+        self._digest = _DigestState(self.check_id)
+        # the block check covers the FINAL decoded bytes (post-filter), so
+        # the digest taps the output end of the chain
+        sink = self._window_sink(self._emit_plain)
+        # chain pre-filters (reverse order on decode) via streaming wrappers
+        from ..streams.extract7z import StreamingBranchFilter
+        self.sfilter = None
+        if pre:
+            if len(pre) != 1:
+                raise UnsupportedError("streaming: at most one pre-filter")
+            f = pre[0]
+            m = {FILTER_X86: 0x03030103, FILTER_ARM: 0x03030501,
+                 FILTER_ARMT: 0x03030701, FILTER_PPC: 0x03030205,
+                 FILTER_SPARC: 0x03030805, FILTER_IA64: 0x03030401,
+                 FILTER_DELTA: 0x03}.get(f.fid)
+            if m is None:
+                raise UnsupportedError(f"streaming filter {f.fid:#x}")
+            self.sfilter = StreamingBranchFilter(m, f.props, sink)
+            sink = self.sfilter.write
+        dict_size = framing.decode_dict_prop(blk.filters[-1].props[0])
+        self.win = WindowBuffer(max(min(dict_size, 1 << 26), 1 << 12), sink)
+        self.state = "BLOCK"
+
+    def _window_sink(self, sink):
+        def write(data: bytes):
+            self._digest.update(data)
+            self.block_uncomp += len(data)
+            sink(data)
+        return write
+
+    def _emit_plain(self, data: bytes) -> None:
+        self.sink(data)
+
+    def _check_stream_digest(self) -> bytes:
+        return self._digest.digest()
+
+    def _block_step(self) -> bool:
+        """Consume one LZMA2 chunk if fully buffered."""
+        from ..models.lzma.decoder_ref import LzmaDecoder
+        from ..models.lzma.spec import LzmaProps
+        if not self._have(1):
+            return False
+        ctrl = self.buf[0]
+        if ctrl == framing.CTRL_EOS:
+            self._take(1)
+            self.block_comp += 1
+            self.win.flush(final=True)
+            if self.sfilter is not None:
+                self.sfilter.close()
+            self.state = "BLOCK_TAIL"
+            return True
+        if ctrl in (framing.CTRL_COPY_RESET_DIC, framing.CTRL_COPY_NO_RESET):
+            if not self._have(3):
+                return False
+            size = ((self.buf[1] << 8) | self.buf[2]) + 1
+            if not self._have(3 + size):
+                return False
+            self._take(3)
+            if ctrl == framing.CTRL_COPY_RESET_DIC:
+                self.dic_start = len(self.win)
+            self.win.extend(self._take(size))
+            self.need_init_state = True
+            self.block_comp += 3 + size
+            self.win.flush()
+            return True
+        if ctrl < 0x80:
+            raise DataError(f"bad LZMA2 control {ctrl:#x}")
+        mode = (ctrl >> 5) & 3
+        hdr = 5 + (1 if mode >= framing.MODE_STATE_PROPS else 0)
+        if not self._have(hdr):
+            return False
+        unpack = (((ctrl & 0x1F) << 16) | (self.buf[1] << 8) | self.buf[2]) + 1
+        pack = ((self.buf[3] << 8) | self.buf[4]) + 1
+        if not self._have(hdr + pack):
+            return False
+        head = self._take(hdr)
+        if mode >= framing.MODE_STATE_PROPS:
+            props = LzmaProps.from_bytes(bytes([head[5]]) + b"\0\0\0\x01")
+            if self.dec is None or \
+                    (self.dec.props.lc, self.dec.props.lp, self.dec.props.pb) \
+                    != (props.lc, props.lp, props.pb):
+                self.dec = LzmaDecoder(props)
+            else:
+                self.dec.reset_state()
+            self.need_init_state = False
+        elif mode == framing.MODE_STATE:
+            if self.dec is None:
+                raise DataError("state reset before props")
+            self.dec.reset_state()
+            self.need_init_state = False
+        elif self.dec is None or self.need_init_state:
+            raise DataError("chunk needs state reset")
+        if mode == framing.MODE_STATE_PROPS_DIC:
+            self.dic_start = len(self.win)
+        payload = self._take(pack)
+        before = len(self.win)
+        self.dec.decode(payload, self.win, unpack_limit=unpack,
+                        dic_start=self.dic_start)
+        if len(self.win) - before != unpack:
+            raise DataError("chunk unpack mismatch (streaming)")
+        self.block_comp += hdr + pack
+        self.win.flush()
+        return True
+
+    def _index_step(self) -> bool:
+        # need the whole index + its CRC; parse varints incrementally
+        if not self._have(2):
+            return False
+        try:
+            pos = 1
+            cnt, pos = _read_varint(self.buf, pos)
+            recs = []
+            for _ in range(cnt):
+                a, pos = _read_varint(self.buf, pos)
+                b, pos = _read_varint(self.buf, pos)
+                recs.append((a, b))
+            while pos % 4:
+                if pos >= len(self.buf):
+                    raise InputEofError("index padding")
+                if self.buf[pos]:
+                    raise DataError("nonzero index padding")
+                pos += 1
+            if not self._have(pos + 4):
+                return False
+        except InputEofError:
+            return False
+        idx = self._take(pos)
+        stored = int.from_bytes(self._take(4), "little")
+        if crc32(idx) != stored:
+            raise CrcError("index CRC")
+        if recs != self.records:
+            raise DataError("index/blocks cross-check failed (streaming)")
+        self.state = "FOOTER"
+        return True
+
+
+class _DigestState:
+    def __init__(self, check_id: int):
+        self.check_id = check_id
+        if check_id == CHECK_SHA256:
+            import hashlib
+            self._h = hashlib.sha256()
+        else:
+            self.value = 0
+
+    def update(self, data: bytes) -> None:
+        if self.check_id == CHECK_CRC32:
+            self.value = crc32(data, self.value)
+        elif self.check_id == CHECK_CRC64:
+            self.value = crc64(data, self.value)
+        elif self.check_id == CHECK_SHA256:
+            self._h.update(data)
+
+    def digest(self) -> bytes:
+        if self.check_id == CHECK_CRC32:
+            return self.value.to_bytes(4, "little")
+        if self.check_id == CHECK_CRC64:
+            return self.value.to_bytes(8, "little")
+        if self.check_id == CHECK_SHA256:
+            return self._h.digest()
+        return b""

@@ -291,7 +291,8 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         state = st.lane.state
         rep0, rep1, rep2, rep3 = (st.lane.rep0, st.lane.rep1, st.lane.rep2,
                                   st.lane.rep3)
-        do = active & ~st.err & (outpos < out_limit)
+        # lanes still draining a match copy (pend_len > 0) skip packet decode
+        do = active & ~st.err & (outpos < out_limit) & (st.pend_len == 0)
         pos_state = outpos & pb_mask
         rows = jnp.arange(n)
         scratch = st.lane.dic.shape[1] - COPY_WIDTH

@@ -121,3 +121,50 @@ def test_lzma86_oracle_interop(oracle, corpus, tmp_path):
     subprocess.run([oracle["oracle_driver"], "lzma86e", str(src), str(enc)],
                    check=True, capture_output=True)
     assert lzma86.decode(enc.read_bytes()) == data
+
+
+@pytest.mark.parametrize("feed", [1, 13, 997, 1 << 20])
+def test_xz_streaming_decoder_feed_sizes(corpus, feed):
+    data = corpus["text"][:40000] + corpus["binary"][:10000]
+    img = xz.encode(data, check="crc64", dict_size=1 << 16, block_size=16384)
+    out = []
+    dec = xz.XzStreamDecoder(out.append)
+    for i in range(0, len(img), feed):
+        dec.feed(img[i:i + feed])
+    dec.finish()
+    assert b"".join(out) == data
+
+
+@pytest.mark.skipif(not HAVE_XZ, reason="no system xz")
+@pytest.mark.parametrize("args", [["--x86", "--lzma2=preset=4,dict=64KiB"],
+                                  ["--delta=dist=4", "--lzma2=preset=2"]])
+def test_xz_streaming_decoder_sysxz_filters(corpus, tmp_path, args):
+    data = corpus["x86"]
+    p = tmp_path / "in.bin"
+    p.write_bytes(data)
+    r = subprocess.run(["xz", "-kfc"] + args + [str(p)], capture_output=True)
+    out = []
+    dec = xz.XzStreamDecoder(out.append)
+    for i in range(0, len(r.stdout), 777):
+        dec.feed(r.stdout[i:i + 777])
+    dec.finish()
+    assert b"".join(out) == data
+
+
+def test_xz_streaming_decoder_truncation_raises(corpus):
+    data = corpus["text"][:20000]
+    img = xz.encode(data, dict_size=1 << 16)
+    dec = xz.XzStreamDecoder(lambda b: None)
+    dec.feed(img[:len(img) // 2])
+    with pytest.raises(LzmaError):
+        dec.finish()
+
+
+def test_xz_streaming_decoder_corruption_raises(corpus):
+    data = corpus["text"][:20000]
+    img = bytearray(xz.encode(data, check="crc32", dict_size=1 << 16))
+    img[40] ^= 1
+    dec = xz.XzStreamDecoder(lambda b: None)
+    with pytest.raises(LzmaError):
+        dec.feed(bytes(img))
+        dec.finish()
