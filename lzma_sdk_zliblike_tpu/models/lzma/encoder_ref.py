@@ -155,13 +155,13 @@ class MatchFinder:
     __slots__ = ("data", "n", "head", "prev", "pos", "max_chain", "nice_len",
                  "dict_size")
 
-    HASH_BITS = 16
+    HASH_BITS = 17  # flat table, identical to the native engine
 
     def __init__(self, data: bytes, dict_size: int,
                  max_chain: int = 48, nice_len: int = 64):
         self.data = data
         self.n = len(data)
-        self.head = {}          # hash → most recent position
+        self.head = [-1] * (1 << self.HASH_BITS)
         self.prev = [0] * self.n  # chain links
         self.pos = 0
         self.max_chain = max_chain
@@ -170,14 +170,14 @@ class MatchFinder:
 
     def _hash(self, i: int) -> int:
         d = self.data
-        return (d[i] | (d[i + 1] << 8) | (d[i + 2] << 16) | (d[i + 3] << 24)) * 2654435761 >> 16 & 0xFFFF_FFFF
+        return ((d[i] | (d[i + 1] << 8) | (d[i + 2] << 16)
+                 | (d[i + 3] << 24)) * 2654435761 >> 16) & ((1 << self.HASH_BITS) - 1)
 
     def insert(self, i: int) -> None:
         if i + 4 > self.n:
             return
         h = self._hash(i)
-        prev = self.head.get(h, -1)
-        self.prev[i] = prev
+        self.prev[i] = self.head[h]
         self.head[h] = i
 
     def best_match(self, i: int) -> tuple[int, int]:
@@ -187,7 +187,7 @@ class MatchFinder:
         if i + 4 > n:
             return 0, 0
         h = self._hash(i)
-        cand = self.head.get(h, -1)
+        cand = self.head[h]
         best_len = 0
         best_dist = 0
         chain = self.max_chain

@@ -13,7 +13,6 @@
 #include <cstdint>
 #include <cstring>
 #include <memory>
-#include <unordered_map>
 #include <vector>
 
 namespace lzt {
@@ -367,27 +366,29 @@ class RangeEncoder {
   u32 cache_size_ = 1;
 };
 
-// hash-chain match finder — same hash and walk as the Python reference
+// hash-chain match finder — flat-table heads + prev links; the Python
+// reference uses the identical hash/table so both backends make the same
+// decisions byte-for-byte
 class MatchFinder {
  public:
+  static constexpr u32 kHashBits = 17;
   MatchFinder(const u8* data, size_t n, u32 dict_size, int max_chain,
               int nice_len)
       : data_(data), n_(n), dict_size_(dict_size), max_chain_(max_chain),
         nice_len_(nice_len < 273 ? nice_len : 273),
-        prev_(n, 0) {}
+        head_(1u << kHashBits, -1), prev_(n, 0) {}
 
-  inline u64 hash_at(size_t i) const {
+  inline u32 hash_at(size_t i) const {
     const u32 le = (u32)data_[i] | ((u32)data_[i + 1] << 8) |
                    ((u32)data_[i + 2] << 16) | ((u32)data_[i + 3] << 24);
-    return (((u64)le * 2654435761ull) >> 16) & 0xFFFFFFFFull;
+    return (u32)(((u64)le * 2654435761ull) >> 16) & ((1u << kHashBits) - 1);
   }
 
   void insert(size_t i) {
     if (i + 4 > n_) return;
-    const u64 h = hash_at(i);
-    auto it = head_.find(h);
-    prev_[i] = it == head_.end() ? -1 : (int64_t)it->second;
-    head_[h] = i;
+    const u32 h = hash_at(i);
+    prev_[i] = head_[h];
+    head_[h] = (int64_t)i;
   }
 
   // collect (len, dist) candidate pairs of strictly increasing length
@@ -395,8 +396,7 @@ class MatchFinder {
   int candidates(size_t i, unsigned (*lens)[32], u32 (*dists)[32]) {
     int cnt = 0;
     if (i + 4 > n_) return 0;
-    auto it = head_.find(hash_at(i));
-    int64_t cand = it == head_.end() ? -1 : (int64_t)it->second;
+    int64_t cand = head_[hash_at(i)];
     int chain = max_chain_;
     const size_t limit = (n_ - i) < 273 ? (n_ - i) : 273;
     const int64_t min_pos = (int64_t)i - (int64_t)dict_size_;
@@ -424,8 +424,7 @@ class MatchFinder {
     *best_len = 0;
     *best_dist = 0;
     if (i + 4 > n_) return;
-    auto it = head_.find(hash_at(i));
-    int64_t cand = it == head_.end() ? -1 : (int64_t)it->second;
+    int64_t cand = head_[hash_at(i)];
     int chain = max_chain_;
     const size_t limit = (n_ - i) < 273 ? (n_ - i) : 273;
     const int64_t min_pos = (int64_t)i - (int64_t)dict_size_;
@@ -453,7 +452,7 @@ class MatchFinder {
   size_t n_;
   u32 dict_size_;
   int max_chain_, nice_len_;
-  std::unordered_map<u64, size_t> head_;
+  std::vector<int64_t> head_;
   std::vector<int64_t> prev_;
 };
 
