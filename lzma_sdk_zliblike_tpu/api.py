@@ -12,17 +12,21 @@ from .models.lzma.spec import LzmaProps
 
 
 def compress(data: bytes, *, level: int = 5, dict_size: int | None = None,
-             lc: int = 3, lp: int = 0, pb: int = 2,
+             lc: int = 3, lp: int = 0, pb: int = 2, effort: int | None = None,
              engine: str = "auto") -> tuple[bytes, bytes]:
     """Compress to raw LZMA. Returns ``(stream, props_bytes)``.
 
     Mirrors ``LzmaCompress`` (``LzmaLib.h:98-112``): props travel out-of-band.
+    ``effort``: defaults from level (level ≥ 9 → optimal parse).
     """
     if dict_size is None:
         dict_size = default_dict_size(level)
+    if effort is None:
+        effort = 10 if level >= 9 else 9
     props = LzmaProps(lc=lc, lp=lp, pb=pb, dict_size=dict_size)
     from .engine import lzma_raw_encode
-    return lzma_raw_encode(data, props, engine=engine), props.to_bytes()
+    return (lzma_raw_encode(data, props, effort=effort, engine=engine),
+            props.to_bytes())
 
 
 def uncompress(stream: bytes, props_bytes: bytes, unpack_size: int,

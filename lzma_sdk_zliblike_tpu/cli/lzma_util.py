@@ -28,6 +28,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--pb", type=int, default=2)
     ap.add_argument("--end-mark", action="store_true",
                     help="write end marker instead of size header")
+    ap.add_argument("--effort", type=int, default=9,
+                    help="9 = greedy/lazy; 10 = optimal parse")
     ap.add_argument("--engine", default="auto",
                     choices=["auto", "python", "native", "tpu"])
     args = ap.parse_args(argv)
@@ -38,9 +40,13 @@ def main(argv: list[str] | None = None) -> int:
             props = LzmaProps(lc=args.lc, lp=args.lp, pb=args.pb,
                               dict_size=args.dict_size
                               or default_dict_size(args.level))
-            out = lzma_file.encode(data, props,
+            from ..engine import lzma_raw_encode
+            from ..containers.lzma_file import build_header
+            body = lzma_raw_encode(data, props,
                                    write_end_mark=args.end_mark,
-                                   engine=args.engine)
+                                   effort=args.effort, engine=args.engine)
+            out = build_header(props,
+                               None if args.end_mark else len(data)) + body
         else:
             out = lzma_file.decode(data, engine=args.engine)
         open(args.output, "wb").write(out)

@@ -22,7 +22,6 @@ for golden fixtures and as a framework capability.
 
 from __future__ import annotations
 
-import io
 from dataclasses import dataclass, field
 
 from ..models.lzma.spec import LzmaProps

@@ -137,6 +137,7 @@ def encode(data: bytes, *, check: str = "crc32",
            filters: list[XzFilter] | None = None,
            dict_size: int = 1 << 24, block_size: int | None = None,
            chunk_size: int | None = None, parallel_groups: bool = True,
+           effort: int = 9,
            engine: str = "auto") -> bytes:
     """Encode bytes into a one-stream .xz image.
 
@@ -160,7 +161,7 @@ def encode(data: bytes, *, check: str = "crc32",
         stream, prop = framing.encode(payload, dict_size=dict_size,
                                       chunk_size=chunk_size,
                                       parallel_groups=parallel_groups,
-                                      engine=engine)
+                                      effort=effort, engine=engine)
         chain = chain + [XzFilter(FILTER_LZMA2, bytes([prop]))]
         hdr = _block_header(chain)
         chk = _check_compute(check_id, blk)

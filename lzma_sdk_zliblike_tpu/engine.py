@@ -35,11 +35,12 @@ def lzma_raw_decode(src: bytes, props: LzmaProps, unpack_size: int | None,
 
 
 def lzma_raw_encode(data: bytes, props: LzmaProps, *,
-                    write_end_mark: bool = False, engine: str = "auto") -> bytes:
+                    write_end_mark: bool = False, effort: int = 9,
+                    engine: str = "auto") -> bytes:
     if engine in ("auto", "native"):
         nat = _native()
         if nat is not None:
-            return nat.lzma_encode(data, props, write_end_mark)
+            return nat.lzma_encode(data, props, write_end_mark, effort)
         if engine == "native":
             raise RuntimeError("native engine not built")
     from .models.lzma.encoder_ref import lzma_encode

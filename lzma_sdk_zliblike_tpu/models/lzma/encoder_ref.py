@@ -11,7 +11,6 @@ conforming decoder; it also anchors the batched TPU encoder.
 
 from __future__ import annotations
 
-from ...utils.errors import ParamError
 from . import spec as S
 
 _MASK32 = 0xFFFFFFFF

@@ -228,6 +228,7 @@ def encode(data: bytes, *, dict_size: int = 1 << 24,
            chunk_size: int | None = None,
            parallel_groups: bool = True,
            lc: int = 3, lp: int = 0, pb: int = 2,
+           effort: int = 9,
            engine: str = "auto") -> tuple[bytes, int]:
     """Encode bytes to a raw LZMA2 stream. Returns ``(stream, dict_prop)``.
 
@@ -243,7 +244,8 @@ def encode(data: bytes, *, dict_size: int = 1 << 24,
             native = None
         if native is not None and native.available():
             return native.lzma2_encode(data, dict_size, chunk_size,
-                                       parallel_groups, lc=lc, lp=lp, pb=pb)
+                                       parallel_groups, lc=lc, lp=lp, pb=pb,
+                                       effort=effort)
         if engine == "native":
             raise RuntimeError("native engine not built")
 

@@ -25,7 +25,7 @@ Props (5 bytes): order u8, memSize u32 LE (``7zDec.c:83-90``).
 
 from __future__ import annotations
 
-from ...utils.errors import DataError, MemError, ParamError
+from ...utils.errors import DataError, ParamError
 
 MIN_ORDER = 2
 MAX_ORDER = 64

@@ -34,7 +34,7 @@ All shapes static; all lanes of a batch share (lc, lp, pb).
 from __future__ import annotations
 
 import functools
-from typing import Any, NamedTuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -507,7 +507,9 @@ def lzma_chunk_step(lane: LaneState, src, pack_len, unpack_len,
         bad = match_lanes & (rep0 + 1 > outpos.astype(_U32))
         overrun = match_lanes & (outpos + length > out_limit)
         err = st.err | marker | bad | overrun
-        pend_len = jnp.where(match_lanes & ~err, length, 0)
+        # preserve in-flight copies of lanes that skipped packet decode
+        pend_len = jnp.where(match_lanes, jnp.where(err, 0, length),
+                             st.pend_len)
         pend_dist = jnp.where(match_lanes, rep0.astype(_I32) + 1,
                               st.pend_dist)
 
