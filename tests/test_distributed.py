@@ -1,0 +1,42 @@
+"""Multi-process (N≥2 "hosts") decode over jax.distributed.
+
+Runs a real 2-process CPU cluster (Gloo collectives) with the lane axis
+sharded over the global mesh — the single-machine stand-in for the
+N-host pod config (BASELINE config 5).
+"""
+
+import shutil
+import sys
+
+import pytest
+
+from lzma_sdk_zliblike_tpu.parallel.distributed import run_local_cluster
+
+INNER = r"""
+import sys
+sys.path.insert(0, %(repo)r)
+from lzma_sdk_zliblike_tpu.parallel import distributed as D
+D.initialize()
+import jax
+from lzma_sdk_zliblike_tpu.models.lzma2 import framing
+from tests.corpus import big_mixed
+data = big_mixed(1 << 16)
+stream, prop = framing.encode(data, dict_size=1<<12, chunk_size=1<<12,
+                              engine="python")
+out = D.decode_groups_distributed(stream, dict_prop=prop, lanes_per_device=4,
+                                  pack_cap=1<<12, dic_cap=1<<12)
+if jax.process_index() == 0:
+    assert out == data
+    print("DIST_OK", flush=True)
+"""
+
+
+@pytest.mark.slow
+def test_two_process_distributed_decode():
+    import os
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rs = run_local_cluster(2, INNER % {"repo": repo}, devices_per_proc=2,
+                           timeout=560)
+    for r in rs:
+        assert r.returncode == 0, r.stdout.decode()[-500:]
+    assert b"DIST_OK" in rs[0].stdout
