@@ -101,6 +101,7 @@ class Decoder {
     const u32 pb_mask = (1u << pb_) - 1;
     const u32 lp_mask = (1u << lp_) - 1;
     const size_t out_target = until_mark ? SIZE_MAX : out.size() + unpack_limit;
+    if (!until_mark) out.reserve(out_target);
 
     int state = state_;
     u32 rep0 = rep_[0], rep1 = rep_[1], rep2 = rep_[2], rep3 = rep_[3];
@@ -196,8 +197,15 @@ class Decoder {
       if ((u64)rep0 + 1 > pos - dic_start || rep0 + 1 > dict_size_)
         return ERR_DATA;
       if (out.size() + len > out_target) return ERR_DATA;
-      size_t from = pos - rep0 - 1;
-      for (unsigned i = 0; i < len; i++) out.push_back(out[from + i]);
+      const size_t from = pos - rep0 - 1;
+      out.resize(pos + len);
+      u8* dst = out.data() + pos;
+      const u8* sp = out.data() + from;
+      if (rep0 + 1 >= len) {
+        std::memcpy(dst, sp, len);
+      } else {
+        for (unsigned i = 0; i < len; i++) dst[i] = sp[i];
+      }
     }
 
     if (*saw_mark && code_ != 0) return ERR_DATA;
