@@ -94,8 +94,9 @@ def main() -> int:
 
     from lzma_sdk_zliblike_tpu.parallel.scheduler import (BatchedLzma2Decoder,
                                                           BatchShape)
-    shape = BatchShape(n_lanes=lanes, pack_cap=min(chunk + 4096, 1 << 16),
-                       dic_cap=chunk)
+    # pack_cap == chunk matches the precompiled kernel shape (rare groups
+    # whose packed size exceeds it fall back to the host engine)
+    shape = BatchShape(n_lanes=lanes, pack_cap=chunk, dic_cap=chunk)
     dec = BatchedLzma2Decoder(shape)
     log("warmup/compile...")
     t = time.time()
