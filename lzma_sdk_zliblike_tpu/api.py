@@ -66,8 +66,15 @@ def lzma2_compress(data: bytes, *, level: int = 5,
 
 
 def lzma2_uncompress(stream: bytes, dict_prop: int, *,
+                     threads: int | None = None,
                      engine: str = "auto") -> bytes:
-    """Decompress a raw LZMA2 stream."""
+    """Decompress a raw LZMA2 stream.
+
+    ``threads``: decode dict-reset groups concurrently (ordered join).
+    """
+    if threads is not None and threads != 1 and engine in ("auto", "native"):
+        from .parallel.host_pool import decode_lzma2_mt
+        return decode_lzma2_mt(stream, dict_prop, threads=threads)
     from .models.lzma2 import framing
     return framing.decode(stream, dict_prop, engine=engine)
 

@@ -70,3 +70,43 @@ def encode_lzma2_mt(data: bytes, *, dict_size: int, chunk_size: int,
                     raise ProgressAborted()
     out.append(0)  # EOS
     return bytes(out), prop_holder["prop"]
+
+
+def decode_lzma2_mt(stream: bytes, dict_prop: int, *,
+                    threads: int | None = None) -> bytes:
+    """Parallel LZMA2 decode: dict-reset groups decoded concurrently.
+
+    Groups are contiguous slices of the stream; each is standalone (starts
+    with a full-reset chunk), so every worker runs the native decoder on
+    its slice and the ordered join reassembles the output.
+    """
+    from .. import native
+    from ..models.lzma2 import framing
+
+    chunks, _ = framing.scan(stream)
+    groups = framing.split_groups(chunks)
+    if not native.available() or len(groups) <= 1:
+        return framing.decode(stream, dict_prop)
+
+    def ctrl_off(c):
+        if not c.is_lzma:
+            return c.data_off - 3
+        return c.data_off - 5 - (1 if c.mode >= framing.MODE_STATE_PROPS else 0)
+
+    spans = []
+    for g in groups:
+        start = ctrl_off(g[0])
+        end = g[-1].data_off + g[-1].pack_size
+        unpack = sum(c.unpack_size for c in g)
+        spans.append((start, end, unpack))
+
+    nt = normalize_threads(threads, len(spans))
+
+    def decode_span(span):
+        start, end, unpack = span
+        return native.lzma2_decode(stream[start:end] + b"\x00", dict_prop,
+                                   size_hint=unpack)
+
+    with ThreadPoolExecutor(max_workers=nt) as pool:
+        parts = list(pool.map(decode_span, spans))
+    return b"".join(parts)

@@ -101,7 +101,9 @@ class Decoder {
     const u32 pb_mask = (1u << pb_) - 1;
     const u32 lp_mask = (1u << lp_) - 1;
     const size_t out_target = until_mark ? SIZE_MAX : out.size() + unpack_limit;
-    if (!until_mark) out.reserve(out_target);
+    if (!until_mark && out.capacity() < out_target)
+      out.reserve(out_target > out.capacity() * 2 ? out_target
+                                                  : out.capacity() * 2);
 
     int state = state_;
     u32 rep0 = rep_[0], rep1 = rep_[1], rep2 = rep_[2], rep3 = rep_[3];
