@@ -84,20 +84,31 @@ def _as_u8p(b) -> "ctypes.POINTER(ctypes.c_uint8)":
 
 def lzma_decode(src: bytes, props: LzmaProps, unpack_size: int | None) -> bytes:
     lib = _load()
-    cap = unpack_size if unpack_size is not None else max(1 << 16, len(src) * 64)
+    # start with a bounded buffer even when the declared size is huge —
+    # a corrupt header must produce DataError, not a giant allocation
+    want = unpack_size
+    cap = min(want if want is not None else max(1 << 16, len(src) * 64),
+              max(1 << 26, len(src) * 64))
     while True:
-        dst = ctypes.create_string_buffer(cap)
+        try:
+            dst = ctypes.create_string_buffer(cap)
+        except MemoryError:
+            raise_for_sres(2)  # SZ_ERROR_MEM
         n = ctypes.c_size_t(cap)
         r = lib.lzt_lzma_decode(
             _as_u8p(src), len(src),
             ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), ctypes.byref(n),
             props.lc, props.lp, props.pb, props.dict_size,
-            1 if unpack_size is not None else 0)
-        if r == 7 and unpack_size is None:  # output cap too small: grow
+            1 if (want is not None and want <= cap) else 0)
+        if r == 7 and (want is None or cap < want):
             cap *= 4
             continue
         raise_for_sres(r)
-        return dst.raw[:n.value]
+        out = dst.raw[:n.value]
+        if want is not None and len(out) != want:
+            from .utils.errors import DataError
+            raise DataError("declared uncompressed size not reached")
+        return out
 
 
 def lzma_encode(data: bytes, props: LzmaProps, write_end_mark: bool = False,
