@@ -37,6 +37,7 @@ enum Status {
 constexpr int kNumStates = 12;
 constexpr int kPosBitsMax = 4;
 constexpr int kMatchMinLen = 2;
+constexpr int kMatchMaxLen = kMatchMinLen + 16 + 255;  // 273
 constexpr u32 kTop = 1u << 24;
 constexpr int kProbBits = 11;
 constexpr int kProbTotal = 1 << kProbBits;
@@ -84,46 +85,115 @@ class Decoder {
   // Decode one raw-LZMA segment into out (history buffer == output).
   // Positions/contexts are counted from dic_start (processedPos
   // semantics).  Returns consumed input position via *src_pos.
+  //
+  // Hot loop keeps the range-coder state (range/code/ip) and the output
+  // cursor in locals: writes through the u8 output pointer may legally
+  // alias class members, so member-resident state would be reloaded from
+  // memory after every emitted byte.
   int decode(const u8* src, size_t src_len, std::vector<u8>& out,
              size_t unpack_limit, bool until_mark, size_t dic_start,
              size_t* consumed, bool* saw_mark) {
     if (src_len < 5) return ERR_INPUT_EOF;
     if (src[0] != 0) return ERR_DATA;
-    src_ = src;
-    limit_ = src_len;
-    code_ = ((u32)src[1] << 24) | ((u32)src[2] << 16) | ((u32)src[3] << 8) |
-            src[4];
-    pos_ = 5;
-    range_ = 0xFFFFFFFFu;
-    overrun_ = false;
+    const u8* ip = src + 5;
+    const u8* const iend = src + src_len;
+    u32 code = ((u32)src[1] << 24) | ((u32)src[2] << 16) | ((u32)src[3] << 8) |
+               src[4];
+    u32 range = 0xFFFFFFFFu;
+    bool overrun = false;
     *saw_mark = false;
 
     const u32 pb_mask = (1u << pb_) - 1;
     const u32 lp_mask = (1u << lp_) - 1;
     const size_t out_target = until_mark ? SIZE_MAX : out.size() + unpack_limit;
-    if (!until_mark && out.capacity() < out_target)
-      out.reserve(out_target > out.capacity() * 2 ? out_target
-                                                  : out.capacity() * 2);
+
+    size_t opos = out.size();
+    // give the cursor a slack region so literals need no capacity check;
+    // out is truncated back to the cursor on every exit path
+    size_t ocap = until_mark ? opos + (64u << 10) : out_target;
+    out.resize(ocap);
+    u8* ob = out.data();
+    u16* const P = probs_.data();
 
     int state = state_;
     u32 rep0 = rep_[0], rep1 = rep_[1], rep2 = rep_[2], rep3 = rep_[3];
 
-    while (out.size() < out_target) {
-      const size_t pos = out.size();
-      const u32 ctx_pos = (u32)(pos - dic_start);
+    auto bitp = [&](u16* p) -> unsigned {
+      if (range < kTop) {
+        range <<= 8;
+        if (ip < iend) code = (code << 8) | *ip++;
+        else { code <<= 8; overrun = true; }
+      }
+      const u32 bound = (range >> kProbBits) * *p;
+      if (code < bound) {
+        range = bound;
+        *p += (kProbTotal - *p) >> kMoveBits;
+        return 0;
+      }
+      range -= bound;
+      code -= bound;
+      *p -= *p >> kMoveBits;
+      return 1;
+    };
+    auto tree = [&](int base, int nbits) -> unsigned {
+      unsigned m = 1;
+      for (int i = 0; i < nbits; i++) m = (m << 1) | bitp(&P[base + m]);
+      return m - (1u << nbits);
+    };
+    auto tree_rev = [&](int base, int nbits) -> unsigned {
+      unsigned m = 1, sym = 0;
+      for (int i = 0; i < nbits; i++) {
+        const unsigned b = bitp(&P[base + m]);
+        m = (m << 1) | b;
+        sym |= b << i;
+      }
+      return sym;
+    };
+    auto direct_bits = [&](int n) -> u32 {
+      u32 res = 0;
+      for (int i = 0; i < n; i++) {
+        if (range < kTop) {
+          range <<= 8;
+          if (ip < iend) code = (code << 8) | *ip++;
+          else { code <<= 8; overrun = true; }
+        }
+        range >>= 1;
+        code -= range;
+        const u32 t = 0 - (code >> 31);
+        code += range & t;
+        res = (res << 1) + t + 1;
+      }
+      return res;
+    };
+    auto decode_len = [&](int base, u32 pos_state) -> unsigned {
+      if (!bitp(&P[base + LEN_CHOICE]))
+        return kMatchMinLen + tree(base + LEN_LOW + (pos_state << 3), 3);
+      if (!bitp(&P[base + LEN_CHOICE2]))
+        return kMatchMinLen + 8 + tree(base + LEN_MID + (pos_state << 3), 3);
+      return kMatchMinLen + 16 + tree(base + LEN_HIGH, 8);
+    };
+    auto fail = [&](int err) { out.resize(opos); return err; };
+
+    while (opos < out_target) {
+      if (until_mark && opos + kMatchMaxLen + 1 > ocap) {
+        ocap = ocap * 2 > opos + 512 ? ocap * 2 : opos + 512;
+        out.resize(ocap);
+        ob = out.data();
+      }
+      const u32 ctx_pos = (u32)(opos - dic_start);
       const u32 pos_state = ctx_pos & pb_mask;
 
-      if (!bit(IS_MATCH + (state << kPosBitsMax) + pos_state)) {
+      if (!bitp(&P[IS_MATCH + (state << kPosBitsMax) + pos_state])) {
         // literal
-        const u8 prev = pos > dic_start ? out[pos - 1] : 0;
+        const u8 prev = opos > dic_start ? ob[opos - 1] : 0;
         const u32 lit_state = ((ctx_pos & lp_mask) << lc_) + (prev >> (8 - lc_));
-        u16* base = &probs_[LITERAL + 0x300 * lit_state];
+        u16* base = &P[LITERAL + 0x300 * lit_state];
         unsigned sym = 1;
         if (state < 7) {
           while (sym < 0x100) sym = (sym << 1) | bitp(&base[sym]);
         } else {
-          if (pos - dic_start < rep0 + 1) return ERR_DATA;
-          unsigned mb = out[pos - rep0 - 1];
+          if (opos - dic_start < (size_t)rep0 + 1) return fail(ERR_DATA);
+          unsigned mb = ob[opos - rep0 - 1];
           unsigned offs = 0x100;
           while (sym < 0x100) {
             mb <<= 1;
@@ -133,29 +203,30 @@ class Decoder {
             offs &= b ? bc : ~bc;
           }
         }
-        out.push_back((u8)sym);
+        ob[opos++] = (u8)sym;
         state = state_after_literal(state);
-        if (overrun_) return ERR_INPUT_EOF;
+        if (overrun) return fail(ERR_INPUT_EOF);
         continue;
       }
 
       unsigned len;
-      if (bit(IS_REP + state)) {
-        if (pos == dic_start) return ERR_DATA;
-        if (!bit(IS_REP_G0 + state)) {
-          if (!bit(IS_REP0_LONG + (state << kPosBitsMax) + pos_state)) {
-            out.push_back(out[pos - rep0 - 1]);
+      if (bitp(&P[IS_REP + state])) {
+        if (opos == dic_start) return fail(ERR_DATA);
+        if (!bitp(&P[IS_REP_G0 + state])) {
+          if (!bitp(&P[IS_REP0_LONG + (state << kPosBitsMax) + pos_state])) {
+            ob[opos] = ob[opos - rep0 - 1];
+            opos++;
             state = state < 7 ? 9 : 11;
-            if (overrun_) return ERR_INPUT_EOF;
+            if (overrun) return fail(ERR_INPUT_EOF);
             continue;
           }
         } else {
           u32 dist;
-          if (!bit(IS_REP_G1 + state)) {
+          if (!bitp(&P[IS_REP_G1 + state])) {
             dist = rep1;
             rep1 = rep0;
           } else {
-            if (!bit(IS_REP_G2 + state)) {
+            if (!bitp(&P[IS_REP_G2 + state])) {
               dist = rep2;
             } else {
               dist = rep3;
@@ -195,29 +266,29 @@ class Decoder {
         }
         rep0 = dist;
       }
-      if (overrun_) return ERR_INPUT_EOF;
-      if ((u64)rep0 + 1 > pos - dic_start || rep0 + 1 > dict_size_)
-        return ERR_DATA;
-      if (out.size() + len > out_target) return ERR_DATA;
-      const size_t from = pos - rep0 - 1;
-      out.resize(pos + len);
-      u8* dst = out.data() + pos;
-      const u8* sp = out.data() + from;
+      if (overrun) return fail(ERR_INPUT_EOF);
+      if ((u64)rep0 + 1 > opos - dic_start || rep0 + 1 > dict_size_)
+        return fail(ERR_DATA);
+      if (opos + len > out_target) return fail(ERR_DATA);
+      u8* dst = ob + opos;
+      const u8* sp = ob + (opos - rep0 - 1);
       if (rep0 + 1 >= len) {
         std::memcpy(dst, sp, len);
       } else {
         for (unsigned i = 0; i < len; i++) dst[i] = sp[i];
       }
+      opos += len;
     }
 
-    if (*saw_mark && code_ != 0) return ERR_DATA;
+    out.resize(opos);
+    if (*saw_mark && code != 0) return ERR_DATA;
     // trailing renormalize (LzmaDec.c:412 semantics): exact consumption
-    if (range_ < kTop && pos_ < limit_) pos_++;
-    if (overrun_) return ERR_INPUT_EOF;
+    if (range < kTop && ip < iend) ip++;
+    if (overrun) return ERR_INPUT_EOF;
 
     state_ = state;
     rep_[0] = rep0; rep_[1] = rep1; rep_[2] = rep2; rep_[3] = rep3;
-    *consumed = pos_;
+    *consumed = (size_t)(ip - src);
     return OK;
   }
 
@@ -225,78 +296,9 @@ class Decoder {
   u32 dict_size_;
 
  private:
-  inline void normalize() {
-    if (range_ < kTop) {
-      range_ <<= 8;
-      if (pos_ < limit_) {
-        code_ = (code_ << 8) | src_[pos_++];
-      } else {
-        code_ <<= 8;
-        overrun_ = true;
-      }
-    }
-  }
-
-  inline unsigned bitp(u16* p) {
-    normalize();
-    const u32 bound = (range_ >> kProbBits) * *p;
-    if (code_ < bound) {
-      range_ = bound;
-      *p += (kProbTotal - *p) >> kMoveBits;
-      return 0;
-    }
-    range_ -= bound;
-    code_ -= bound;
-    *p -= *p >> kMoveBits;
-    return 1;
-  }
-
-  inline unsigned bit(int idx) { return bitp(&probs_[idx]); }
-
-  unsigned tree(int base, int nbits) {
-    unsigned m = 1;
-    for (int i = 0; i < nbits; i++) m = (m << 1) | bit(base + m);
-    return m - (1u << nbits);
-  }
-
-  unsigned tree_rev(int base, int nbits) {
-    unsigned m = 1, sym = 0;
-    for (int i = 0; i < nbits; i++) {
-      const unsigned b = bit(base + m);
-      m = (m << 1) | b;
-      sym |= b << i;
-    }
-    return sym;
-  }
-
-  u32 direct_bits(int n) {
-    u32 res = 0;
-    for (int i = 0; i < n; i++) {
-      normalize();
-      range_ >>= 1;
-      code_ -= range_;
-      const u32 t = 0 - (code_ >> 31);
-      code_ += range_ & t;
-      res = (res << 1) + t + 1;
-    }
-    return res;
-  }
-
-  unsigned decode_len(int base, u32 pos_state) {
-    if (!bit(base + LEN_CHOICE))
-      return kMatchMinLen + tree(base + LEN_LOW + (pos_state << 3), 3);
-    if (!bit(base + LEN_CHOICE2))
-      return kMatchMinLen + 8 + tree(base + LEN_MID + (pos_state << 3), 3);
-    return kMatchMinLen + 16 + tree(base + LEN_HIGH, 8);
-  }
-
   std::vector<u16> probs_;
   int state_ = 0;
   u32 rep_[4] = {0, 0, 0, 0};
-  const u8* src_ = nullptr;
-  size_t pos_ = 0, limit_ = 0;
-  u32 range_ = 0, code_ = 0;
-  bool overrun_ = false;
 };
 
 // ==========================================================================
