@@ -9,6 +9,7 @@
 // exactly (same hash chains, same lazy heuristics) so the two backends are
 // byte-for-byte cross-checkable.
 
+#include <array>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -385,10 +386,15 @@ class MatchFinder {
  public:
   static constexpr u32 kHashBits = 17;
   MatchFinder(const u8* data, size_t n, u32 dict_size, int max_chain,
-              int nice_len)
+              int nice_len, bool short_hashes = false)
       : data_(data), n_(n), dict_size_(dict_size), max_chain_(max_chain),
         nice_len_(nice_len < 273 ? nice_len : 273),
-        head_(1u << kHashBits, -1), prev_(n, 0) {}
+        head_(1u << kHashBits, -1), prev_(n, 0) {
+    if (short_hashes) {
+      head2_.assign(1u << 16, -1);
+      head3_.assign(1u << 16, -1);
+    }
+  }
 
   inline u32 hash_at(size_t i) const {
     const u32 le = (u32)data_[i] | ((u32)data_[i + 1] << 8) |
@@ -396,7 +402,21 @@ class MatchFinder {
     return (u32)(((u64)le * 2654435761ull) >> 16) & ((1u << kHashBits) - 1);
   }
 
+  inline u32 hash2_at(size_t i) const {
+    return (u32)data_[i] | ((u32)data_[i + 1] << 8);
+  }
+
+  inline u32 hash3_at(size_t i) const {
+    const u32 le = (u32)data_[i] | ((u32)data_[i + 1] << 8) |
+                   ((u32)data_[i + 2] << 16);
+    return (u32)(((u64)le * 2654435761ull) >> 16) & 0xFFFFu;
+  }
+
   void insert(size_t i) {
+    if (!head2_.empty() && i + 2 <= n_) {
+      head2_[hash2_at(i)] = (int64_t)i;
+      if (i + 3 <= n_) head3_[hash3_at(i)] = (int64_t)i;
+    }
     if (i + 4 > n_) return;
     const u32 h = hash_at(i);
     prev_[i] = head_[h];
@@ -404,15 +424,48 @@ class MatchFinder {
   }
 
   // collect (len, dist) candidate pairs of strictly increasing length
-  // (shortest-distance-first chain order), for the optimal parser
+  // (shortest-distance-first chain order), for the optimal parser.
+  // With short_hashes the order-2/order-3 heads seed the list (BT4's
+  // HASH2/HASH3 role, LzmaEnc.c GetMatches): they are the *nearest*
+  // occurrences of the 2-/3-byte prefix, so any chain entry has a larger
+  // distance and the frontier stays minimal-distance-per-length.
   int candidates(size_t i, unsigned (*lens)[32], u32 (*dists)[32]) {
     int cnt = 0;
-    if (i + 4 > n_) return 0;
-    int64_t cand = head_[hash_at(i)];
-    int chain = max_chain_;
+    if (i + 2 > n_) return 0;
     const size_t limit = (n_ - i) < 273 ? (n_ - i) : 273;
     const int64_t min_pos = (int64_t)i - (int64_t)dict_size_;
     unsigned bl = 0;
+    if (!head2_.empty()) {
+      const int64_t p2 = head2_[hash2_at(i)];
+      if (p2 >= min_pos && p2 >= 0 && (size_t)p2 < i) {
+        size_t ln = 0;
+        while (ln < limit && data_[p2 + ln] == data_[i + ln]) ln++;
+        if (ln >= 2) {
+          bl = (unsigned)ln;
+          (*lens)[cnt] = bl;
+          (*dists)[cnt] = (u32)(i - p2);
+          cnt++;
+        }
+      }
+      if (i + 3 <= n_) {
+        const int64_t p3 = head3_[hash3_at(i)];
+        if (p3 >= min_pos && p3 >= 0 && (size_t)p3 < i &&
+            data_[p3] == data_[i] && data_[p3 + 1] == data_[i + 1] &&
+            data_[p3 + 2] == data_[i + 2]) {
+          size_t ln = 3;
+          while (ln < limit && data_[p3 + ln] == data_[i + ln]) ln++;
+          if (ln > bl) {
+            bl = (unsigned)ln;
+            (*lens)[cnt] = bl;
+            (*dists)[cnt] = (u32)(i - p3);
+            cnt++;
+          }
+        }
+      }
+    }
+    if (i + 4 > n_) return cnt;
+    int64_t cand = head_[hash_at(i)];
+    int chain = max_chain_;
     while (cand >= 0 && chain > 0 && cand >= min_pos && cnt < 32) {
       if (i + bl < n_ && data_[cand + bl] == data_[i + bl]) {
         size_t ln = 0;
@@ -466,6 +519,7 @@ class MatchFinder {
   int max_chain_, nice_len_;
   std::vector<int64_t> head_;
   std::vector<int64_t> prev_;
+  std::vector<int64_t> head2_, head3_;  // opt-parse only (short_hashes)
 };
 
 class Encoder {
@@ -608,34 +662,40 @@ class Encoder {
     return price;
   }
 
-  // Optimal-ish parse: shortest-path DP with live-prob prices over blocks.
-  // Approximation vs the reference's GetOptimum: arrival (state, rep0) is
-  // tracked per node from its best predecessor; rep1..3 are priced only at
-  // emission time (the emitter still uses full rep coding when distances
-  // coincide).  Parity target: compressed size ≤ the reference's BT4+optimal.
+  // Optimal parse: shortest-path DP with live-prob prices over blocks
+  // (LzmaEnc.c GetOptimum equivalent).  Each node tracks the arrival
+  // (state, rep0..rep3) from its best predecessor; transitions cover
+  // literal, short-rep, rep0..rep3 (rep-coded pricing), and normal
+  // matches (order-2/3-seeded hash-chain candidates).  Parity target:
+  // compressed size ≤ the reference's BT4+optimal.
   std::vector<u8> encode_segment_opt(const u8* data, size_t total_n,
                                      size_t start, size_t end,
                                      size_t dic_start, bool end_mark) {
     RangeEncoder rc;
     const u32 pb_mask = (1u << pb_) - 1;
-    MatchFinder mf(data, total_n, dict_size_, max_chain_, nice_len_);
+    MatchFinder mf(data, total_n, dict_size_, max_chain_, nice_len_, true);
     for (size_t j = dic_start; j < start; j++) mf.insert(j);
 
-    const size_t BLOCK = 0x1000;
+    const size_t BLOCK = 0x400;
     size_t i = start;
     while (i < end) {
       const size_t bend = (i + BLOCK < end) ? i + BLOCK : end;
       const size_t W = bend - i;
-      // DP arrays over [0..W]
-      std::vector<u32> cost(W + 1, 0xFFFFFFFFu);
-      std::vector<u32> from(W + 1, 0);
-      std::vector<u32> op_len(W + 1, 0);
-      std::vector<u32> op_dist(W + 1, 0);   // 0 = literal; 1 = rep0; else dist+2
-      std::vector<u8> arr_state(W + 1, 0);
-      std::vector<u32> arr_rep0(W + 1, 0);
+      // DP over [0..W] plus an extension region: ops started inside the
+      // block may finish up to kMatchMaxLen past it, so block boundaries
+      // never truncate a match (the endpoint is chosen below)
+      const size_t WX = W + kMatchMaxLen;
+      std::vector<u32> cost(WX + 1, 0xFFFFFFFFu);
+      std::vector<u32> from(WX + 1, 0);
+      std::vector<u32> op_len(WX + 1, 0);
+      // op_dist: 0 = literal; 1 = short rep; else dist+2 (the emitter
+      // re-derives the rep form when the distance matches a live rep)
+      std::vector<u32> op_dist(WX + 1, 0);
+      std::vector<u8> arr_state(WX + 1, 0);
+      std::vector<std::array<u32, 4>> arr_rep(WX + 1);
       cost[0] = 0;
       arr_state[0] = (u8)state_;
-      arr_rep0[0] = rep_[0];
+      arr_rep[0] = {rep_[0], rep_[1], rep_[2], rep_[3]};
       unsigned lens[32];
       u32 dists[32];
       for (size_t j = 0; j < W; j++) {
@@ -644,64 +704,102 @@ class Encoder {
         const u32 pos = (u32)(pos_abs - dic_start);
         const u32 pos_state = pos & pb_mask;
         const int st = arr_state[j];
-        const u32 r0 = arr_rep0[j];
+        const std::array<u32, 4>& rq = arr_rep[j];
         const int ism_idx = IS_MATCH + (st << kPosBitsMax) + pos_state;
+        const u32 match_head = cost[j] + price_bit(ism_idx, 1);
+        const u32 rep_head = match_head + price_bit(IS_REP + st, 1);
         // literal
         {
           const u32 c = cost[j] + price_bit(ism_idx, 0) +
-                        price_literal(0, pos, data, pos_abs, dic_start, st, r0);
+                        price_literal(0, pos, data, pos_abs, dic_start, st,
+                                      rq[0]);
           if (c < cost[j + 1]) {
             cost[j + 1] = c;
             from[j + 1] = (u32)j;
             op_len[j + 1] = 1;
             op_dist[j + 1] = 0;
             arr_state[j + 1] = (u8)state_after_literal(st);
-            arr_rep0[j + 1] = r0;
+            arr_rep[j + 1] = rq;
           }
         }
-        // rep0 match
-        {
-          const int64_t fromp = (int64_t)pos_abs - r0 - 1;
-          if (fromp >= (int64_t)dic_start) {
-            size_t ln = 0;
-            const size_t lim =
-                (end - pos_abs) < 273 ? end - pos_abs : 273;
-            while (ln < lim && data[fromp + ln] == data[pos_abs + ln]) ln++;
-            if (ln >= 2) {
-              const u32 base_price = cost[j] + price_bit(ism_idx, 1) +
-                  price_bit(IS_REP + st, 1) + price_bit(IS_REP_G0 + st, 0) +
-                  price_bit(IS_REP0_LONG + (st << kPosBitsMax) + pos_state, 1);
-              const size_t maxl = ln < (W - j) ? ln : (W - j);
-              for (size_t l = 2; l <= maxl; l++) {
-                const u32 c = base_price +
-                    price_len(REP_LEN_CODER, pos_state, (unsigned)l);
-                if (c < cost[j + l]) {
-                  cost[j + l] = c;
-                  from[j + l] = (u32)j;
-                  op_len[j + l] = (u32)l;
-                  op_dist[j + l] = r0 + 2;  // emitter re-derives the rep form
-                  arr_state[j + l] = (u8)(st < 7 ? 8 : 11);
-                  arr_rep0[j + l] = r0;
-                }
-              }
+        // rep matches (incl. short rep for ri == 0)
+        for (int ri = 0; ri < 4; ri++) {
+          const u32 rd = rq[ri];
+          bool dup = false;
+          for (int q = 0; q < ri; q++) dup |= rq[q] == rd;
+          if (dup) continue;
+          const int64_t fromp = (int64_t)pos_abs - rd - 1;
+          if (fromp < (int64_t)dic_start) continue;
+          const size_t lim = (end - pos_abs) < 273 ? end - pos_abs : 273;
+          size_t ln = 0;
+          while (ln < lim && data[fromp + ln] == data[pos_abs + ln]) ln++;
+          if (ln == 0) continue;
+          u32 sel_price = rep_head;
+          if (ri == 0) {
+            sel_price += price_bit(IS_REP_G0 + st, 0);
+            // short rep: single byte at rep0 (LzmaDec's IS_REP0_LONG=0 arm)
+            const u32 c0 = sel_price +
+                price_bit(IS_REP0_LONG + (st << kPosBitsMax) + pos_state, 0);
+            if (c0 < cost[j + 1]) {
+              cost[j + 1] = c0;
+              from[j + 1] = (u32)j;
+              op_len[j + 1] = 1;
+              op_dist[j + 1] = 1;
+              arr_state[j + 1] = (u8)(st < 7 ? 9 : 11);
+              arr_rep[j + 1] = rq;
+            }
+            sel_price +=
+                price_bit(IS_REP0_LONG + (st << kPosBitsMax) + pos_state, 1);
+          } else if (ri == 1) {
+            sel_price += price_bit(IS_REP_G0 + st, 1) +
+                         price_bit(IS_REP_G1 + st, 0);
+          } else {
+            sel_price += price_bit(IS_REP_G0 + st, 1) +
+                         price_bit(IS_REP_G1 + st, 1) +
+                         price_bit(IS_REP_G2 + st, ri == 2 ? 0 : 1);
+          }
+          if (ln < 2) continue;
+          std::array<u32, 4> nq = rq;
+          if (ri == 1) {
+            nq = {rq[1], rq[0], rq[2], rq[3]};
+          } else if (ri == 2) {
+            nq = {rq[2], rq[0], rq[1], rq[3]};
+          } else if (ri == 3) {
+            nq = {rq[3], rq[0], rq[1], rq[2]};
+          }
+          const size_t maxl = ln;
+          for (size_t l = 2; l <= maxl; l++) {
+            const u32 c = sel_price +
+                price_len(REP_LEN_CODER, pos_state, (unsigned)l);
+            if (c < cost[j + l]) {
+              cost[j + l] = c;
+              from[j + l] = (u32)j;
+              op_len[j + l] = (u32)l;
+              op_dist[j + l] = rd + 2;
+              arr_state[j + l] = (u8)(st < 7 ? 8 : 11);
+              arr_rep[j + l] = nq;
             }
           }
         }
         // normal matches
         const int nc = mf.candidates(pos_abs, &lens, &dists);
         mf.insert(pos_abs);
+        const u32 nm_head = match_head + price_bit(IS_REP + st, 0);
         unsigned prev_len = 1;
         for (int k = 0; k < nc; k++) {
           unsigned ml = lens[k];
           const u32 dist = dists[k] - 1;
           if (ml > end - pos_abs) ml = (unsigned)(end - pos_abs);
-          if (ml > W - j) ml = (unsigned)(W - j);
           if (ml < 2) continue;
-          const u32 head = cost[j] + price_bit(ism_idx, 1) +
-                           price_bit(IS_REP + st, 0);
+          // distances equal to a live rep are covered (cheaper) above
+          if (dist == rq[0] || dist == rq[1] || dist == rq[2] ||
+              dist == rq[3]) {
+            prev_len = ml;
+            continue;
+          }
           for (unsigned l = prev_len + 1; l <= ml; l++) {
             if (l < 2) continue;
-            const u32 c = head + price_len(LEN_CODER, pos_state, l) +
+            const u32 c = nm_head + price_len(LEN_CODER, pos_state, l) +
                           price_dist(l, dist);
             if (c < cost[j + l]) {
               cost[j + l] = c;
@@ -709,15 +807,27 @@ class Encoder {
               op_len[j + l] = l;
               op_dist[j + l] = dist + 2;
               arr_state[j + l] = (u8)(st < 7 ? 7 : 10);
-              arr_rep0[j + l] = dist;
+              arr_rep[j + l] = {dist, rq[0], rq[1], rq[2]};
             }
           }
           prev_len = ml;
         }
       }
+      // endpoint: prefer an overshoot node when its cost, net of the
+      // block's average bits/byte for the extra bytes it encodes, wins
+      size_t je = W;
+      {
+        const double bpb = (double)cost[W] / (double)W;
+        double best = (double)cost[W];
+        for (size_t j = W + 1; j <= WX; j++) {
+          if (cost[j] == 0xFFFFFFFFu) continue;
+          const double adj = (double)cost[j] - bpb * (double)(j - W);
+          if (adj < best) { best = adj; je = j; }
+        }
+      }
       // backtrack the block, then emit forward through the adaptive coder
       std::vector<size_t> order;
-      for (size_t j = W; j > 0; j = from[j]) order.push_back(j);
+      for (size_t j = je; j > 0; j = from[j]) order.push_back(j);
       for (size_t oi = order.size(); oi-- > 0;) {
         const size_t j = order[oi];
         const size_t pos_abs = i + from[j];
@@ -725,11 +835,14 @@ class Encoder {
         const u32 od = op_dist[j];
         if (od == 0) {
           emit_literal(rc, data, pos_abs, dic_start);
+        } else if (od == 1) {
+          emit_shortrep(rc, pos_abs, dic_start);
         } else {
           emit_match(rc, data, pos_abs, dic_start, od - 2, l);
         }
       }
-      i = bend;
+      for (size_t p = bend; p < i + je; p++) mf.insert(p);
+      i += je;
     }
 
     if (end_mark) {
@@ -812,6 +925,18 @@ class Encoder {
     }
     encode_len(rc, REP_LEN_CODER, pos_state, len);
     state_ = state_ < 7 ? 8 : 11;
+  }
+
+  // single-byte rep0 copy (decoder's IS_REP0_LONG==0 arm)
+  void emit_shortrep(RangeEncoder& rc, size_t i, size_t dic_start) {
+    const u32 pb_mask = (1u << pb_) - 1;
+    const u32 pos_state = (u32)(i - dic_start) & pb_mask;
+    rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 1);
+    rc.encode_bit(&probs_[IS_REP + state_], 1);
+    rc.encode_bit(&probs_[IS_REP_G0 + state_], 0);
+    rc.encode_bit(
+        &probs_[IS_REP0_LONG + (state_ << kPosBitsMax) + pos_state], 0);
+    state_ = state_ < 7 ? 9 : 11;
   }
 
   void emit_match(RangeEncoder& rc, const u8* data, size_t i, size_t dic_start,
@@ -1139,7 +1264,7 @@ int lzt_lzma_encode(const uint8_t* src, size_t n, uint8_t* dst,
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
     return lzt::ERR_PARAM;
   const bool opt = effort >= 10;
-  const int chain = opt ? 128 : (effort >= 7 ? 48 : 16);
+  const int chain = opt ? 256 : (effort >= 7 ? 48 : 16);
   const int nice = opt ? 273 : 64;
   lzt::Encoder enc(lc, lp, pb, dict_size, chain, nice);
   auto out = opt ? enc.encode_segment_opt(src, n, 0, n, 0, end_mark != 0)
@@ -1197,7 +1322,7 @@ int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
   // the two backends stay byte-for-byte cross-checkable; effort ≥ 10 uses
   // the price-based optimal parser with a deeper finder
   const bool opt = effort >= 10;
-  Encoder enc(lc, lp, pb, real_dict, opt ? 128 : 48, opt ? 273 : 64);
+  Encoder enc(lc, lp, pb, real_dict, opt ? 256 : 48, opt ? 273 : 64);
   const u8 props_byte = (u8)((pb * 5 + lp) * 9 + lc);
 
   bool props_sent = false;
