@@ -38,6 +38,8 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--bcj2", action="store_true", help="BCJ2 pre-filter")
     ap.add_argument("--non-solid", action="store_true")
     ap.add_argument("--encode-header", action="store_true")
+    ap.add_argument("--effort", type=int, default=9,
+                    help="1-9 fast..best lazy; 10 = optimal parse")
     args = ap.parse_args(argv)
 
     try:
@@ -65,7 +67,8 @@ def _run(args) -> int:
         pre = SZ.M_BCJ2 if args.bcj2 else (SZ.M_BCJ if args.bcj else None)
         img = SZ.write(files, method=_METHODS[args.method],
                        dict_size=args.dict_size, solid=not args.non_solid,
-                       pre_filter=pre, encode_header=args.encode_header)
+                       pre_filter=pre, encode_header=args.encode_header,
+                       effort=args.effort)
         open(args.archive, "wb").write(img)
         print(f"created {args.archive}: {len(files)} files, "
               f"{len(img)} bytes")

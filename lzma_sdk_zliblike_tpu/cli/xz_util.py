@@ -25,12 +25,15 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--dict-size", type=int, default=1 << 24)
     ap.add_argument("--block-size", type=int, default=None)
     ap.add_argument("--engine", default="auto")
+    ap.add_argument("--effort", type=int, default=9,
+                    help="1-9 fast..best lazy; 10 = optimal parse")
     args = ap.parse_args(argv)
     try:
         data = open(args.input, "rb").read()
         if args.command == "c":
             out = xz.encode(data, check=args.check, dict_size=args.dict_size,
-                            block_size=args.block_size, engine=args.engine)
+                            block_size=args.block_size, effort=args.effort,
+                            engine=args.engine)
             open(args.output, "wb").write(out)
         elif args.command == "d":
             out = xz.decode(data, engine=args.engine)

@@ -681,7 +681,7 @@ def _write_number_bytes(v: int) -> bytes:
 def write(files: dict[str, bytes], *, method: int = M_LZMA2,
           dict_size: int = 1 << 20, solid: bool = True,
           pre_filter: int | None = None, encode_header: bool = False,
-          engine: str = "auto") -> bytes:
+          effort: int = 9, engine: str = "auto") -> bytes:
     """Build a .7z archive. ``solid`` packs all files into one folder;
     ``encode_header`` LZMA-compresses the metadata header (the
     kEncodedHeader form real 7z archives use)."""
@@ -702,11 +702,12 @@ def write(files: dict[str, bytes], *, method: int = M_LZMA2,
         if method == M_LZMA:
             from ..engine import lzma_raw_encode
             props = LzmaProps(dict_size=dict_size)
-            return (lzma_raw_encode(payload, props, engine=engine),
+            return (lzma_raw_encode(payload, props, effort=effort,
+                                    engine=engine),
                     (M_LZMA, props.to_bytes()))
         if method == M_LZMA2:
             stream, prop = framing.encode(payload, dict_size=dict_size,
-                                          engine=engine)
+                                          effort=effort, engine=engine)
             return stream, (M_LZMA2, bytes([prop]))
         if method == M_PPMD:
             from ..models.ppmd7 import codec as ppmd
