@@ -67,6 +67,21 @@ inline int state_after_literal(int s) {
   return s < 4 ? 0 : (s < 10 ? s - 3 : s - 6);
 }
 
+// word-at-a-time common-prefix length (the hot comparison in match finding)
+inline size_t match_len(const u8* a, const u8* b, size_t lim) {
+  size_t ln = 0;
+  while (ln + 8 <= lim) {
+    u64 x, y;
+    std::memcpy(&x, a + ln, 8);
+    std::memcpy(&y, b + ln, 8);
+    const u64 d = x ^ y;
+    if (d) return ln + (__builtin_ctzll(d) >> 3);
+    ln += 8;
+  }
+  while (ln < lim && a[ln] == b[ln]) ln++;
+  return ln;
+}
+
 // ==========================================================================
 // decoder
 // ==========================================================================
@@ -438,8 +453,7 @@ class MatchFinder {
     if (!head2_.empty()) {
       const int64_t p2 = head2_[hash2_at(i)];
       if (p2 >= min_pos && p2 >= 0 && (size_t)p2 < i) {
-        size_t ln = 0;
-        while (ln < limit && data_[p2 + ln] == data_[i + ln]) ln++;
+        const size_t ln = match_len(data_ + p2, data_ + i, limit);
         if (ln >= 2) {
           bl = (unsigned)ln;
           (*lens)[cnt] = bl;
@@ -452,8 +466,8 @@ class MatchFinder {
         if (p3 >= min_pos && p3 >= 0 && (size_t)p3 < i &&
             data_[p3] == data_[i] && data_[p3 + 1] == data_[i + 1] &&
             data_[p3 + 2] == data_[i + 2]) {
-          size_t ln = 3;
-          while (ln < limit && data_[p3 + ln] == data_[i + ln]) ln++;
+          const size_t ln = 3 + match_len(data_ + p3 + 3, data_ + i + 3,
+                                          limit - 3);
           if (ln > bl) {
             bl = (unsigned)ln;
             (*lens)[cnt] = bl;
@@ -468,8 +482,7 @@ class MatchFinder {
     int chain = max_chain_;
     while (cand >= 0 && chain > 0 && cand >= min_pos && cnt < 32) {
       if (i + bl < n_ && data_[cand + bl] == data_[i + bl]) {
-        size_t ln = 0;
-        while (ln < limit && data_[cand + ln] == data_[i + ln]) ln++;
+        const size_t ln = match_len(data_ + cand, data_ + i, limit);
         if (ln > bl) {
           bl = (unsigned)ln;
           (*lens)[cnt] = bl;
@@ -497,8 +510,7 @@ class MatchFinder {
     u32 bd = 0;
     while (cand >= 0 && chain > 0 && cand >= min_pos) {
       if (i + bl < n_ && data_[cand + bl] == data_[i + bl]) {
-        size_t ln = 0;
-        while (ln < limit && data_[cand + ln] == data_[i + ln]) ln++;
+        const size_t ln = match_len(data_ + cand, data_ + i, limit);
         if (ln > bl) {
           bl = (unsigned)ln;
           bd = (u32)(i - cand);
@@ -696,8 +708,17 @@ class Encoder {
       cost[0] = 0;
       arr_state[0] = (u8)state_;
       arr_rep[0] = {rep_[0], rep_[1], rep_[2], rep_[3]};
+      // length prices are pos_state x len only — table them per block
+      const u32 nps = pb_mask + 1;
+      std::vector<u32> lenp(nps * 274), replenp(nps * 274);
+      for (u32 ps = 0; ps < nps; ps++)
+        for (unsigned l = 2; l <= kMatchMaxLen; l++) {
+          lenp[ps * 274 + l] = price_len(LEN_CODER, ps, l);
+          replenp[ps * 274 + l] = price_len(REP_LEN_CODER, ps, l);
+        }
       unsigned lens[32];
       u32 dists[32];
+      size_t skip_search_until = 0;
       for (size_t j = 0; j < W; j++) {
         if (cost[j] == 0xFFFFFFFFu) { mf.insert(i + j); continue; }
         const size_t pos_abs = i + j;
@@ -731,8 +752,7 @@ class Encoder {
           const int64_t fromp = (int64_t)pos_abs - rd - 1;
           if (fromp < (int64_t)dic_start) continue;
           const size_t lim = (end - pos_abs) < 273 ? end - pos_abs : 273;
-          size_t ln = 0;
-          while (ln < lim && data[fromp + ln] == data[pos_abs + ln]) ln++;
+          const size_t ln = match_len(data + fromp, data + pos_abs, lim);
           if (ln == 0) continue;
           u32 sel_price = rep_head;
           if (ri == 0) {
@@ -768,9 +788,9 @@ class Encoder {
             nq = {rq[3], rq[0], rq[1], rq[2]};
           }
           const size_t maxl = ln;
+          const u32* rlp = &replenp[pos_state * 274];
           for (size_t l = 2; l <= maxl; l++) {
-            const u32 c = sel_price +
-                price_len(REP_LEN_CODER, pos_state, (unsigned)l);
+            const u32 c = sel_price + rlp[l];
             if (c < cost[j + l]) {
               cost[j + l] = c;
               from[j + l] = (u32)j;
@@ -781,9 +801,13 @@ class Encoder {
             }
           }
         }
-        // normal matches
-        const int nc = mf.candidates(pos_abs, &lens, &dists);
+        // normal matches (search skipped inside a dominating long match)
+        int nc = 0;
+        if (pos_abs >= skip_search_until)
+          nc = mf.candidates(pos_abs, &lens, &dists);
         mf.insert(pos_abs);
+        if (nc > 0 && lens[nc - 1] >= 128)
+          skip_search_until = pos_abs + lens[nc - 1] - 1;
         const u32 nm_head = match_head + price_bit(IS_REP + st, 0);
         unsigned prev_len = 1;
         for (int k = 0; k < nc; k++) {
@@ -797,10 +821,15 @@ class Encoder {
             prev_len = ml;
             continue;
           }
+          // distance price depends on len only through the 4-way slot
+          // context — compute the 4 variants once per candidate
+          u32 pd[4];
+          for (unsigned lt = 0; lt < 4; lt++) pd[lt] = price_dist(lt + 2, dist);
+          const u32* lp = &lenp[pos_state * 274];
           for (unsigned l = prev_len + 1; l <= ml; l++) {
             if (l < 2) continue;
-            const u32 c = nm_head + price_len(LEN_CODER, pos_state, l) +
-                          price_dist(l, dist);
+            const u32 c = nm_head + lp[l] +
+                          pd[(l - 2) < 4 ? (l - 2) : 3];
             if (c < cost[j + l]) {
               cost[j + l] = c;
               from[j + l] = (u32)j;
@@ -992,9 +1021,7 @@ class Encoder {
       for (int ri = 0; ri < 4; ri++) {
         const int64_t from = (int64_t)i - reps[ri] - 1;
         if (from < (int64_t)dic_start) continue;
-        size_t ln = 0;
-        while (ln < avail && data[from + ln] == data[i + ln]) ln++;
-        rep_len[ri] = (unsigned)ln;
+        rep_len[ri] = (unsigned)match_len(data + from, data + i, avail);
       }
       int best_ri = 0;
       for (int ri = 1; ri < 4; ri++)
