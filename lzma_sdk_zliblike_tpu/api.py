@@ -62,7 +62,7 @@ def lzma2_compress(data: bytes, *, level: int = 5,
                                threads=threads, effort=effort,
                                progress=progress)
     return framing.encode(data, dict_size=dict_size, chunk_size=chunk_size,
-                          engine=engine)
+                          effort=effort, engine=engine)
 
 
 def lzma2_uncompress(stream: bytes, dict_prop: int, *,

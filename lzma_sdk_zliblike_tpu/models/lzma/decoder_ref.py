@@ -148,7 +148,9 @@ class LzmaDecoder:
                unpack_limit: int | None = None,
                expect_end_mark: bool = False,
                src_pos: int = 0, src_limit: int | None = None,
-               dic_start: int = 0) -> tuple[int, bool]:
+               dic_start: int = 0,
+               rc: "RangeDecoder | None" = None,
+               input_margin: int | None = None) -> tuple[int, bool]:
         """Decode one raw-LZMA segment.
 
         ``out`` holds the full history; bytes before ``len(out)`` act as the
@@ -156,11 +158,20 @@ class LzmaDecoder:
         distances may not reach before it).  Returns ``(src_consumed_abs_pos,
         saw_end_marker)``.  Stops when ``len(out) - start`` reaches
         ``unpack_limit`` or on the end marker.
+
+        Streaming (``LzmaDec_DecodeToBuf`` semantics, ``LzmaDec.c:840-878``):
+        pass a persistent ``rc`` to resume mid-segment, and ``input_margin``
+        to pause cleanly at a symbol boundary when fewer than that many
+        input bytes remain (instead of raising ``InputEofError`` mid-symbol;
+        the reference bounds one symbol's consumption by
+        ``LZMA_REQUIRED_INPUT_MAX`` = 20 bytes).  A paused call performs no
+        trailing renormalize; resume by calling again with the same ``rc``.
         """
         props = self.props
         probs = self.probs
-        rc = RangeDecoder(src, src_pos, src_limit)
-        rc.init()
+        if rc is None:
+            rc = RangeDecoder(src, src_pos, src_limit)
+            rc.init()
         state = self.state
         rep0, rep1, rep2, rep3 = self.reps
         pb_mask = (1 << props.pb) - 1
@@ -170,8 +181,12 @@ class LzmaDecoder:
         end_mark = False
 
         decode_bit = rc.decode_bit
+        paused = False
         while True:
             if target is not None and len(out) >= target:
+                break
+            if input_margin is not None and rc.limit - rc.pos < input_margin:
+                paused = True
                 break
             pos = len(out)
             # context positions are relative to the last dict reset
@@ -275,8 +290,9 @@ class LzmaDecoder:
             raise DataError("range coder not zero at end marker")
         # trailing renormalize (reference LzmaDec.c:412): consumes the byte
         # mirroring the encoder's post-final-symbol shift, so chunk input
-        # consumption is exact
-        if rc.range < _TOP and rc.pos < rc.limit:
+        # consumption is exact (skipped on a streaming pause — the segment
+        # has not ended yet)
+        if not paused and rc.range < _TOP and rc.pos < rc.limit:
             rc.range = (rc.range << 8) & _MASK32
             rc.code = ((rc.code << 8) | rc.src[rc.pos]) & _MASK32
             rc.pos += 1
