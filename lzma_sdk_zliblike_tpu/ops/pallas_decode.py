@@ -1,0 +1,614 @@
+"""Pallas TPU kernel: lane-parallel batched LZMA chunk decoder.
+
+This is the compute-path successor to ``ops/batched_decode.py`` (the pure-XLA
+lockstep decoder).  Same semantics — N independent LZMA2 chunks decode in
+lockstep, one packet per stream per iteration, every range-coder bit decision
+a masked vector op (reference hot loop: ``LzmaDec.c:131-426``) — but the
+memory layout is designed around what the TPU vector core can actually do:
+
+* **Streams on sublanes, table entries on lanes.**  Mosaic supports a
+  per-sublane dynamic gather along the 128-lane axis
+  (``take_along_axis(x, idx, axis=-1)``) but no sublane-indexed gather.  So
+  every probability family lives in VMEM as ``[pages, S, 128]`` — stream s is
+  sublane s, a family is split into 128-entry lane pages — and one adaptive
+  bit decode is: one lane-gather for the probability, a few vector ops for
+  the bound/update, and a one-hot masked store per touched page.  The pure
+  XLA version needed an O(family-width) one-hot select *and* scatter per bit;
+  here both are O(pages touched), and all families except the literal tree
+  are a single page.
+* **Dictionary in VMEM, one byte per lane** (``[pages, S, 128]`` int32).
+  Sequential writes (literals, match copies) go through a per-stream
+  128-byte write-window register row that mirrors the current output page
+  and is flushed to the dictionary ref once per iteration.  Random reads
+  (matched literals, match-copy sources) stage 1-2 dictionary rows per
+  stream with scalar-indexed dynamic slices — the scalar core resolves the
+  per-stream addresses while the vector core does the bit arithmetic.
+* **Match copies move up to 128 bytes per iteration** with a single masked
+  lane-gather: destination lane ``l`` takes source byte
+  ``base + ((l - wl) mod dist)`` — the modulo makes overlapping (periodic)
+  matches correct without a serial byte loop.
+* **Input is a carried 4-byte lookahead register** refilled by lane-gathers
+  from two staged 512-byte input pages; pages restage per stream only when
+  the read cursor crosses a page boundary (amortized: once per 512 bytes).
+
+Bit-exactness contract is identical to the scalar reference decoder
+(``models/lzma/decoder_ref.py``) and the XLA lockstep kernel: exact input
+consumption accounting including the trailing-renormalize step of
+``LzmaDec.c:412``, chunk-boundary ``SZ_ERROR_DATA`` semantics, end-marker
+rejection inside sized LZMA2 chunks.
+
+v1 scope: each stream decodes one whole *group* that is a single LZMA chunk
+with dict+state+prop reset (the data-parallel unit ``Lzma2Dec.c:14-26``
+defines).  Multi-chunk groups carry state across chunks; those go through
+the XLA kernel or the in-kernel chunk loop (planned follow-up).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.lzma import spec as S
+
+_I32 = jnp.int32
+_U32 = jnp.uint32
+_TOP = np.uint32(S.RC_TOP)
+_MASK32 = np.uint32(0xFFFFFFFF)
+
+PAGE = 128               # lanes per table/dict page
+IN_PAGE_BYTES = 512      # staged input page: 128 LE words
+
+
+# ---------------------------------------------------------------------------
+# family page layout
+# ---------------------------------------------------------------------------
+
+def _family_layout(lc: int, lp: int):
+    """Assign each probability family a page range in the fams scratch.
+
+    Returns (layout dict name -> (first_page, width, n_pages), total_pages).
+    """
+    nls = 1 << (lc + lp)
+    fams = [
+        ("is_match", S.NUM_STATES << S.NUM_POS_BITS_MAX),
+        ("is_rep", S.NUM_STATES),
+        ("is_rep_g0", S.NUM_STATES),
+        ("is_rep_g1", S.NUM_STATES),
+        ("is_rep_g2", S.NUM_STATES),
+        ("is_rep0_long", S.NUM_STATES << S.NUM_POS_BITS_MAX),
+        ("spec_pos", S.NUM_SPEC_POS),
+        ("align", S.ALIGN_TABLE_SIZE),
+        ("len_choice", 2 * 2),
+    ]
+    for k in range(S.NUM_POS_SLOT_BITS):
+        fams.append((f"slot_{k}", S.NUM_LEN_TO_POS_STATES << k))
+    for k in range(S.LEN_LOW_BITS):
+        fams.append((f"lowmid_{k}", (2 * 2 * S.POS_STATES_MAX) << k))
+    for k in range(S.LEN_HIGH_BITS):
+        fams.append((f"high_{k}", 2 << k))
+    for k in range(8):
+        fams.append((f"lit_{k}", (nls * 3) << k))
+    layout = {}
+    page = 0
+    for name, width in fams:
+        npg = -(-width // PAGE)
+        layout[name] = (page, width, npg)
+        page += npg
+    return layout, page
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _bswap32(x):
+    x = x.astype(_U32)
+    return (((x & 0xFF) << 24) | ((x & 0xFF00) << 8)
+            | ((x >> 8) & 0xFF00) | (x >> 24))
+
+
+def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
+                 lc: int, lp: int, pb: int, max_iters: int):
+    layout, tot_pages = _family_layout(lc, lp)
+    n = n_streams
+    pb_mask = (1 << pb) - 1
+    lp_mask = (1 << lp) - 1
+
+    def kernel(meta_ref, src_ref, dic_ref, status_ref,
+               fam_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
+               x_ref, prev_ipg):
+        lane_i = jax.lax.broadcasted_iota(_I32, (n, PAGE), 1)
+        zero = jnp.zeros((n, PAGE), _I32)
+        zerou = jnp.zeros((n, PAGE), _U32)
+
+        pack_len = meta_ref[0]
+        limit = meta_ref[1]          # = unpack_len (fresh group: outpos 0)
+        active_i = meta_ref[2]       # i32: bool loop-invariants would
+        active0 = active_i != 0      # materialize as i8 (Mosaic can't
+                                     # truncate those back to i1 masks)
+
+        # ---- init ---------------------------------------------------------
+        fam_ref[:] = jnp.full((tot_pages, n, PAGE), S.PROB_INIT, _I32)
+        w_ref[:] = zero
+        i0_ref[:] = src_ref[0]
+        i1_ref[:] = src_ref[min(1, in_pages - 1)]
+        for s in range(n):
+            prev_ipg[s] = jnp.int32(0)
+
+        def gat(tbl, idx):
+            return jnp.take_along_axis(tbl, jnp.clip(idx, 0, PAGE - 1),
+                                       axis=1)
+
+        w0 = gat(i0_ref[:], zero).astype(_U32)
+        w1 = gat(i0_ref[:], zero + 1).astype(_U32)
+        b0 = w0 & 0xFF
+        code0 = (((w0 >> 8) & 0xFF) << 24) | (((w0 >> 16) & 0xFF) << 16) \
+            | ((w0 >> 24) << 8) | (w1 & 0xFF)
+        init_err = active0 & ((b0 != 0) | (pack_len < 5))
+
+        def fetch_be32(ipg, inpos, i0, i1):
+            """BE u32 at byte offset inpos, from the two staged pages."""
+            word = inpos >> 2
+            off = word - (ipg << 7)
+            v0 = jnp.where(off < PAGE, gat(i0, off), gat(i1, off - PAGE))
+            offn = off + 1
+            v1 = jnp.where(offn < PAGE, gat(i0, offn), gat(i1, offn - PAGE))
+            hi = _bswap32(v0)
+            lo = _bswap32(v1)
+            r = ((inpos & 3) << 3).astype(_U32)
+            return (hi << r) | jnp.where(r == 0, 0, lo >> (32 - r))
+
+        # carried state, all [n, PAGE] broadcast per sublane
+        # rc: rng, code, la, la_cnt, inpos, consumed, err
+        # lz: outpos, state, rep0..3, last_byte, pend_len, pend_dist, ipg
+        def refill(c, do):
+            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
+            need = do & (la_cnt < 4)
+            fetched = fetch_be32(ipg, inpos, i0_ref[:], i1_ref[:])
+            sh = (la_cnt << 3).astype(_U32)
+            la = jnp.where(need, la | (fetched >> sh), la)
+            inpos = jnp.where(need, inpos + (4 - la_cnt), inpos)
+            la_cnt = jnp.where(need, 4, la_cnt)
+            return (rng, code, la, la_cnt, inpos, consumed, err, ipg)
+
+        def renorm(c, do):
+            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
+            need = (rng < _TOP) & do
+            over = need & (consumed >= pack_len)
+            rng = jnp.where(need, rng << 8, rng)
+            code = jnp.where(need, (code << 8) | (la >> 24), code)
+            la = jnp.where(need, la << 8, la)
+            la_cnt = jnp.where(need, la_cnt - 1, la_cnt)
+            consumed = jnp.where(need, consumed + 1, consumed)
+            return (rng, code, la, la_cnt, inpos, consumed, err | over, ipg)
+
+        def bit(c, fam, idx, do):
+            """Masked adaptive bit decode vs family `fam` at index `idx`."""
+            base, width, npg = layout[fam]
+            c = renorm(c, do)
+            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
+            idx = jnp.clip(idx, 0, width - 1)
+            ln = idx & (PAGE - 1)
+            if npg == 1:
+                p = gat(fam_ref[base], ln)
+            else:
+                pg = idx >> 7
+                p = zero
+                for i in range(npg):
+                    g = gat(fam_ref[base + i], ln)
+                    p = jnp.where(pg == i, g, p)
+            bound = (rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
+            bit0 = code < bound
+            newp = jnp.where(bit0,
+                             p + ((S.RC_BIT_MODEL_TOTAL - p) >> S.RC_MOVE_BITS),
+                             p - (p >> S.RC_MOVE_BITS))
+            oh = (lane_i == ln) & do
+            if npg == 1:
+                fam_ref[base] = jnp.where(oh, newp, fam_ref[base])
+            else:
+                for i in range(npg):
+                    fam_ref[base + i] = jnp.where(
+                        oh & (pg == i), newp, fam_ref[base + i])
+            rng = jnp.where(do, jnp.where(bit0, bound, rng - bound), rng)
+            code = jnp.where(do, jnp.where(bit0, code, code - bound), code)
+            b = jnp.where(do & ~bit0, 1, 0)
+            return (rng, code, la, la_cnt, inpos, consumed, err, ipg), b
+
+        def body(carry):
+            (it, rng, code, la, la_cnt, inpos, consumed, err_i,
+             outpos, state, rep0, rep1, rep2, rep3, last_byte,
+             pend_len, pend_dist, ipg) = carry
+            # loop carries hold the error flag as i32 (Mosaic has no i1
+            # memory form for carry buffers); bool view inside the body
+            err = err_i != 0
+            active0 = active_i != 0
+
+            # ---- phase 0: page bookkeeping (scalar staging) ----------------
+            ipg_new = (inpos >> 2) >> 7
+            dirty = jnp.maximum(outpos - 1, 0) >> 7
+            mpos = jnp.clip(outpos - rep0.astype(_I32) - 1,
+                            0, out_pages * PAGE - 1)
+            mpg = mpos >> 7
+            xv = jnp.where(lane_i == 0, jnp.clip(ipg_new, 0, in_pages - 1),
+                           jnp.where(lane_i == 1, dirty,
+                                     jnp.where(lane_i == 2, mpg, 0)))
+            x_ref[:] = xv
+            ipg = ipg_new
+            for s in range(n):
+                pg_i = x_ref[s, 0]
+                dt = x_ref[s, 1]
+                mp = x_ref[s, 2]
+                dic_ref[dt, s, :] = w_ref[s, :]
+                @pl.when(pg_i != prev_ipg[s])
+                def _(pg_i=pg_i, s=s):
+                    i1p = jnp.minimum(pg_i + 1, in_pages - 1)
+                    i0_ref[s, :] = src_ref[pg_i, s, :]
+                    i1_ref[s, :] = src_ref[i1p, s, :]
+                    prev_ipg[s] = pg_i
+                m_ref[s, :] = dic_ref[mp, s, :]
+
+            # ---- phase 1: packet decode ------------------------------------
+            do = active0 & ~err & (outpos < limit) & (pend_len == 0)
+            pos_state = outpos & pb_mask
+            c = (rng, code, la, la_cnt, inpos, consumed, err, ipg)
+
+            c = refill(c, do)
+            c, bm = bit(c, "is_match",
+                        (state << S.NUM_POS_BITS_MAX) + pos_state, do)
+            is_lit = do & (bm == 0)
+            is_mat = do & (bm == 1)
+
+            # literal
+            prev = jnp.where(outpos > 0, last_byte, 0)
+            lit_state = ((outpos & lp_mask) << lc) + (prev >> (8 - lc))
+            mb = gat(m_ref[:], mpos & (PAGE - 1))
+            in_ms = state >= 7
+            matched = is_lit & in_ms
+            mb = jnp.where(in_ms, mb, 0)
+            sym = zero + 1
+            for k in range(8):
+                if k in (3, 7):
+                    c = refill(c, is_lit)
+                mb = mb << 1
+                mbit = (mb >> 8) & 1
+                plane = jnp.where(matched, 1 + mbit, 0)
+                idx = (lit_state * 3 + plane) * (1 << k) + (sym - (1 << k))
+                c, bl = bit(c, f"lit_{k}", idx, is_lit)
+                sym = jnp.where(is_lit, (sym << 1) | bl, sym)
+                matched = matched & (bl == mbit)
+            lit_byte = sym & 0xFF
+            wl = outpos & (PAGE - 1)
+            w_ref[:] = jnp.where(is_lit & (lane_i == wl), lit_byte, w_ref[:])
+            outpos = jnp.where(is_lit, outpos + 1, outpos)
+            last_byte = jnp.where(is_lit, lit_byte, last_byte)
+            lit_next = jnp.where(state < 4, 0,
+                                 jnp.where(state < 10, state - 3, state - 6))
+            state = jnp.where(is_lit, lit_next, state)
+
+            # match family flags
+            c, br = bit(c, "is_rep", state, is_mat)
+            simple = is_mat & (br == 0)
+            rep = is_mat & (br == 1)
+
+            c = refill(c, rep)
+            c, bg0 = bit(c, "is_rep_g0", state, rep)
+            rep_g0 = rep & (bg0 == 0)
+            c, b0l = bit(c, "is_rep0_long",
+                         (state << S.NUM_POS_BITS_MAX) + pos_state, rep_g0)
+            shortrep = rep_g0 & (b0l == 0)
+            longrep0 = rep_g0 & (b0l == 1)
+            repg = rep & (bg0 == 1)
+            c, bg1 = bit(c, "is_rep_g1", state, repg)
+            use_r1 = repg & (bg1 == 0)
+            repg2 = repg & (bg1 == 1)
+            c, bg2 = bit(c, "is_rep_g2", state, repg2)
+            use_r2 = repg2 & (bg2 == 0)
+            use_r3 = repg2 & (bg2 == 1)
+
+            rot = use_r1 | use_r2 | use_r3
+            dist_rep = jnp.where(use_r1, rep1, jnp.where(use_r2, rep2, rep3))
+            rep3 = jnp.where(use_r3, rep2, rep3)
+            rep2 = jnp.where(use_r2 | use_r3, rep1, rep2)
+            rep1 = jnp.where(rot, rep0, rep1)
+            rep0 = jnp.where(rot, dist_rep, rep0)
+            state = jnp.where(shortrep, jnp.where(state < 7, 9, 11), state)
+
+            # length
+            len_lanes = simple | longrep0 | rot
+            coder = jnp.where(simple, 0, 1)
+            c = refill(c, len_lanes)
+            c, c1 = bit(c, "len_choice", coder * 2, len_lanes)
+            c, c2 = bit(c, "len_choice", coder * 2 + 1, len_lanes & (c1 == 1))
+            low = len_lanes & (c1 == 0)
+            mid = len_lanes & (c1 == 1) & (c2 == 0)
+            high = len_lanes & (c1 == 1) & (c2 == 1)
+            lowmid = low | mid
+            ismid = jnp.where(mid, 1, 0)
+            m = zero + 1
+            for k in range(S.LEN_LOW_BITS):
+                if k == 0:
+                    c = refill(c, lowmid)
+                idx = (((coder * 2 + ismid) * S.POS_STATES_MAX + pos_state)
+                       * (1 << k)) + (m - (1 << k))
+                c, blm = bit(c, f"lowmid_{k}", idx, lowmid)
+                m = jnp.where(lowmid, (m << 1) | blm, m)
+            lm_sym = jnp.where(lowmid, m - S.LEN_LOW_SYMBOLS, 0)
+            m = zero + 1
+            for k in range(S.LEN_HIGH_BITS):
+                if k in (0, 4):
+                    c = refill(c, high)
+                idx = coder * (1 << k) + (m - (1 << k))
+                c, bh = bit(c, f"high_{k}", idx, high)
+                m = jnp.where(high, (m << 1) | bh, m)
+            hi_sym = jnp.where(high, m - S.LEN_HIGH_SYMBOLS, 0)
+            length = jnp.where(
+                low, S.MATCH_MIN_LEN + lm_sym,
+                jnp.where(mid, S.MATCH_MIN_LEN + S.LEN_LOW_SYMBOLS + lm_sym,
+                          S.MATCH_MIN_LEN + S.LEN_LOW_SYMBOLS
+                          + S.LEN_MID_SYMBOLS + hi_sym))
+            state = jnp.where(simple, jnp.where(state < 7, 7, 10),
+                              jnp.where(longrep0 | rot,
+                                        jnp.where(state < 7, 8, 11), state))
+
+            # distance (simple matches): slot tree
+            lt_ps = jnp.minimum(length - S.MATCH_MIN_LEN,
+                                S.NUM_LEN_TO_POS_STATES - 1)
+            c = refill(c, simple)
+            m = zero + 1
+            for k in range(S.NUM_POS_SLOT_BITS):
+                if k == 4:
+                    c = refill(c, simple)
+                idx = lt_ps * (1 << k) + (m - (1 << k))
+                c, bs = bit(c, f"slot_{k}", idx, simple)
+                m = jnp.where(simple, (m << 1) | bs, m)
+            slot = jnp.where(simple, m - (1 << S.NUM_POS_SLOT_BITS), 0)
+
+            big = simple & (slot >= 4)
+            nd = jnp.maximum((slot >> 1) - 1, 0)
+            dist = jnp.where(big,
+                             (2 | (slot & 1)).astype(_U32) << nd.astype(_U32),
+                             slot.astype(_U32))
+            specs = big & (slot < S.END_POS_MODEL_INDEX)
+            spec_base = dist.astype(_I32) - slot - 1
+
+            # direct bits: loop exactly max(ndirect) times, masked
+            directs = big & (slot >= S.END_POS_MODEL_INDEX)
+            ndirect = jnp.where(directs, nd - S.NUM_ALIGN_BITS, 0)
+            nmax = jnp.max(ndirect)
+            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
+
+            def dbody(i, dc):
+                rng, code, la, la_cnt, inpos, consumed, err_d, dval = dc
+                err = err_d != 0
+                # ndirect > 0 exactly on `directs` lanes — avoids capturing
+                # a bool loop-invariant (Mosaic i8/i1 truncation limit)
+                act = i < ndirect
+                need_re = act & (la_cnt < 1)
+                fetched = fetch_be32(ipg, inpos, i0_ref[:], i1_ref[:])
+                sh = (la_cnt << 3).astype(_U32)
+                la = jnp.where(need_re, la | (fetched >> sh), la)
+                inpos = jnp.where(need_re, inpos + (4 - la_cnt), inpos)
+                la_cnt = jnp.where(need_re, 4, la_cnt)
+                need = (rng < _TOP) & act
+                err = err | (need & (consumed >= pack_len))
+                code = jnp.where(need, (code << 8) | (la >> 24), code)
+                rng = jnp.where(need, rng << 8, rng)
+                la = jnp.where(need, la << 8, la)
+                la_cnt = jnp.where(need, la_cnt - 1, la_cnt)
+                consumed = jnp.where(need, consumed + 1, consumed)
+                rng = jnp.where(act, rng >> 1, rng)
+                code2 = code - rng
+                t = jnp.zeros_like(code2) - (code2 >> 31)
+                code = jnp.where(act, code2 + (rng & t), code)
+                dval = jnp.where(act, (dval << 1) + (t + 1).astype(_U32),
+                                 dval)
+                return (rng, code, la, la_cnt, inpos, consumed,
+                        jnp.where(err, 1, 0), dval)
+
+            (rng, code, la, la_cnt, inpos, consumed, err_d, dval) = \
+                jax.lax.fori_loop(
+                    0, nmax, dbody,
+                    (rng, code, la, la_cnt, inpos, consumed,
+                     jnp.where(err, 1, 0), zerou))
+            err = err_d != 0
+            c = (rng, code, la, la_cnt, inpos, consumed, err, ipg)
+
+            # reverse bit trees: spec-pos (≤5 bits) / align (4 bits)
+            c = refill(c, specs | directs)
+            m = zero + 1
+            sym_r = zero
+            for i in range(5):
+                act_s = specs & (i < nd)
+                act_a = directs & (i < S.NUM_ALIGN_BITS)
+                if i == 4:
+                    c = refill(c, act_s)
+                    c, bsp = bit(c, "spec_pos", spec_base + m, act_s)
+                else:
+                    c2, bsp_s = bit(c, "spec_pos", spec_base + m, act_s)
+                    c2, bsp_a = bit(c2, "align", m, act_a)
+                    c = c2
+                    bsp = jnp.where(act_a, bsp_a, bsp_s)
+                act = act_s | (act_a if i < 4 else False)
+                m = jnp.where(act, (m << 1) | bsp, m)
+                sym_r = jnp.where(act, sym_r | (bsp << i), sym_r)
+            dist = jnp.where(specs, dist + sym_r.astype(_U32), dist)
+            dist = jnp.where(directs,
+                             dist + (dval << S.NUM_ALIGN_BITS)
+                             + sym_r.astype(_U32), dist)
+
+            marker = simple & (dist == _MASK32)
+            rep3 = jnp.where(simple, rep2, rep3)
+            rep2 = jnp.where(simple, rep1, rep2)
+            rep1 = jnp.where(simple, rep0, rep1)
+            rep0 = jnp.where(simple, dist, rep0)
+
+            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
+            match_lanes = len_lanes
+            bad = match_lanes & (rep0 + 1 > outpos.astype(_U32))
+            overrun = match_lanes & (outpos + length > limit)
+            err = err | marker | bad | overrun
+            okm = match_lanes & ~err
+            pend_len = jnp.where(okm, length,
+                                 jnp.where(shortrep & ~err, 1, pend_len))
+            pend_dist = jnp.where((okm | shortrep) & ~err,
+                                  rep0.astype(_I32) + 1, pend_dist)
+
+            # ---- phase 2: copy step (≤ 128-wl bytes) ------------------------
+            ac = active0 & ~err & (pend_len > 0)
+            d = jnp.maximum(pend_dist, 1)
+            wl = outpos & (PAGE - 1)
+            step = jnp.where(ac, jnp.minimum(pend_len, PAGE - wl), 0)
+            base = jnp.maximum(outpos - d, 0)
+            spg = base >> 7
+            xv2 = jnp.where(lane_i == 0, jnp.clip(spg, 0, out_pages - 1),
+                            jnp.where(lane_i == 1, jnp.where(ac, 1, 0), 0))
+            x_ref[:] = xv2
+            for s in range(n):
+                @pl.when(x_ref[s, 1] != 0)
+                def _(s=s):
+                    sp = x_ref[s, 0]
+                    spn = jnp.minimum(sp + 1, out_pages - 1)
+                    a_ref[s, :] = dic_ref[sp, s, :]
+                    b_ref[s, :] = dic_ref[spn, s, :]
+
+            j = lane_i - wl
+            jm = jnp.where(j > 0, j % d, 0)
+            off = (base & (PAGE - 1)) + jm
+            gA = gat(a_ref[:], off)
+            gB = gat(b_ref[:], off - PAGE)
+            val = jnp.where(off < PAGE, gA, gB)
+            wmask = ac & (j >= 0) & (j < step)
+            w_ref[:] = jnp.where(wmask, val, w_ref[:])
+            outpos = jnp.where(ac, outpos + step, outpos)
+            pend_len = jnp.where(ac, pend_len - step, pend_len)
+            nlast = gat(w_ref[:], (outpos - 1) & (PAGE - 1))
+            last_byte = jnp.where(ac, nlast, last_byte)
+
+            return (it + 1, rng, code, la, la_cnt, inpos, consumed,
+                    jnp.where(err, 1, 0),
+                    outpos, state, rep0, rep1, rep2, rep3, last_byte,
+                    pend_len, pend_dist, ipg)
+
+        def cond(carry):
+            (it, rng, code, la, la_cnt, inpos, consumed, err_i,
+             outpos, state, rep0, rep1, rep2, rep3, last_byte,
+             pend_len, pend_dist, ipg) = carry
+            busy = (active_i != 0) & (err_i == 0) & ((outpos < limit)
+                                                     | (pend_len > 0))
+            return jnp.any(busy) & (it < max_iters)
+
+        init = (jnp.int32(0),
+                jnp.full((n, PAGE), _MASK32, _U32),      # rng
+                code0,                                    # code
+                zerou,                                    # la
+                zero,                                     # la_cnt
+                zero + 5,                                 # inpos
+                zero + 5,                                 # consumed
+                jnp.where(init_err, 1, 0),                # err (i32)
+                zero,                                     # outpos
+                zero,                                     # state
+                zerou, zerou, zerou, zerou,               # rep0..3
+                zero,                                     # last_byte
+                zero,                                     # pend_len
+                zero + 1,                                 # pend_dist
+                zero)                                     # ipg
+        final = jax.lax.while_loop(cond, body, init)
+        (it, rng, code, la, la_cnt, inpos, consumed, err_i,
+         outpos, state, rep0, rep1, rep2, rep3, last_byte,
+         pend_len, pend_dist, ipg) = final
+        err = err_i != 0
+        active0 = active_i != 0
+
+        # trailing renormalize (LzmaDec.c:412): exact consumption accounting
+        tail = active0 & ~err & (rng < _TOP) & (consumed < pack_len)
+        consumed = jnp.where(tail, consumed + 1, consumed)
+        ok = (~err) & (outpos == limit) & (consumed == pack_len)
+        ok = ok | ~active0   # (where() on i1 operands lowers via i8)
+
+        status_ref[0] = jnp.where(ok, 1, 0)
+        status_ref[1] = consumed
+        status_ref[2] = zero + it
+
+        # final write-window flush
+        dirty = jnp.maximum(outpos - 1, 0) >> 7
+        x_ref[:] = jnp.where(lane_i == 0, dirty, 0)
+        for s in range(n):
+            dic_ref[x_ref[s, 0], s, :] = w_ref[s, :]
+
+    return kernel, tot_pages
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_streams", "in_pages", "out_pages",
+                                    "lc", "lp", "pb", "interpret"))
+def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
+                 lc, lp, pb, interpret=False):
+    max_iters = out_pages * PAGE + 4096
+    kernel, tot_pages = _make_kernel(n_streams, in_pages, out_pages,
+                                     lc, lp, pb, max_iters)
+    n = n_streams
+    return pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((out_pages, n, PAGE), _I32),  # dic bytes
+            jax.ShapeDtypeStruct((3, n, PAGE), _I32),          # status
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.VMEM)),
+        scratch_shapes=[
+            pltpu.VMEM((tot_pages, n, PAGE), _I32),   # fam
+            pltpu.VMEM((n, PAGE), _I32),              # W  write window
+            pltpu.VMEM((n, PAGE), _I32),              # M  matched-byte row
+            pltpu.VMEM((n, PAGE), _I32),              # A  copy src row
+            pltpu.VMEM((n, PAGE), _I32),              # B  copy src row+1
+            pltpu.VMEM((n, PAGE), _I32),              # I0 input page
+            pltpu.VMEM((n, PAGE), _I32),              # I1 input page+1
+            pltpu.VMEM((n, PAGE), _I32),              # X  scalar xfer
+            pltpu.SMEM((n,), _I32),                   # prev input page
+        ],
+        interpret=interpret,
+    )(meta, src_words)
+
+
+# ---------------------------------------------------------------------------
+# host wrapper
+# ---------------------------------------------------------------------------
+
+def decode_chunks(src: np.ndarray, pack_len: np.ndarray,
+                  unpack_len: np.ndarray, active: np.ndarray, *,
+                  dic_cap: int, lc: int = 3, lp: int = 0, pb: int = 2,
+                  interpret: bool = False):
+    """Decode one single-chunk group per stream.
+
+    src: [S, pack_cap] uint8; returns (out [S, dic_cap] uint8, ok [S] bool,
+    consumed [S] int32).
+    """
+    n, pack_cap = src.shape
+    in_pages = -(-(pack_cap + 8) // IN_PAGE_BYTES)
+    out_pages = -(-dic_cap // PAGE)
+    # LE word packing, shaped [in_pages, S, 128]
+    padded = np.zeros((n, in_pages * IN_PAGE_BYTES), np.uint8)
+    padded[:, :pack_cap] = src
+    words = padded.view("<u4").astype(np.int32).reshape(
+        n, in_pages, PAGE).transpose(1, 0, 2)
+    meta = np.zeros((3, n, PAGE), np.int32)
+    meta[0] = np.asarray(pack_len, np.int32)[:, None]
+    meta[1] = np.asarray(unpack_len, np.int32)[:, None]
+    meta[2] = np.asarray(active, np.int32)[:, None]
+    dic, status = _decode_call(
+        jnp.asarray(meta), jnp.asarray(words),
+        n_streams=n, in_pages=in_pages, out_pages=out_pages,
+        lc=lc, lp=lp, pb=pb, interpret=interpret)
+    dic = np.asarray(dic)   # [out_pages, S, 128]
+    status = np.asarray(status)
+    out = dic.transpose(1, 0, 2).reshape(n, out_pages * PAGE).astype(np.uint8)
+    ok = status[0, :, 0] != 0
+    consumed = status[1, :, 0]
+    return out[:, :dic_cap], ok, consumed
