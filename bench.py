@@ -54,7 +54,9 @@ def measure_oracle_baseline(data: bytes) -> float:
 
 def main() -> int:
     mb = int(os.environ.get("LZT_BENCH_MB", "8"))
-    lanes = int(os.environ.get("LZT_BENCH_LANES", "256"))
+    # 64 lanes x 16KB chunks keeps the pallas kernel inside the 16MB
+    # scoped-VMEM limit (128 lanes needs ~18MB)
+    lanes = int(os.environ.get("LZT_BENCH_LANES", "64"))
     chunk = int(os.environ.get("LZT_BENCH_CHUNK", str(1 << 14)))
     timeout_s = int(os.environ.get("LZT_BENCH_TIMEOUT", "1500"))
 
@@ -104,7 +106,8 @@ def main() -> int:
         # pack_cap == chunk matches the precompiled kernel shape (rare
         # groups whose packed size exceeds it fall back to the host engine)
         shape = BatchShape(n_lanes=lanes, pack_cap=chunk, dic_cap=chunk)
-        dec = BatchedLzma2Decoder(shape)
+        dec = BatchedLzma2Decoder(
+            shape, engine=os.environ.get("LZT_BENCH_DEVICE_ENGINE", "pallas"))
         log("device warmup/compile...")
         t = time.time()
         warm = dec.decode(stream[:], prop)

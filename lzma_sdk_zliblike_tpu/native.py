@@ -29,6 +29,16 @@ def _load():
     if not _TRIED:
         _TRIED = True
         path = os.path.abspath(_lib_path())
+        if not os.path.exists(path):
+            # fresh checkout: build the runtime once, best-effort (the
+            # Python engines remain the fallback if no toolchain exists)
+            import subprocess
+            repo = os.path.dirname(os.path.dirname(path))
+            try:
+                subprocess.run(["make", "-C", repo, "native"], check=True,
+                               capture_output=True, timeout=300)
+            except Exception:
+                pass
         if os.path.exists(path):
             lib = ctypes.CDLL(path)
             _bind(lib)

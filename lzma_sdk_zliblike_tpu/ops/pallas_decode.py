@@ -219,10 +219,30 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             b = jnp.where(do & ~bit0, 1, 0)
             return (rng, code, la, la_cnt, inpos, consumed, err, ipg), b
 
+        CHECK_EVERY = 64  # busy-check period (power of two)
+
         def body(carry):
-            (it, rng, code, la, la_cnt, inpos, consumed, err_i,
+            (it, busy_s, rng, code, la, la_cnt, inpos, consumed, err_i,
              outpos, state, rep0, rep1, rep2, rep3, last_byte,
              pend_len, pend_dist, ipg) = carry
+
+            # Termination check, lagged and periodic.  The while cond must
+            # depend only on values resolvable EARLY in the body: a cond fed
+            # by the body's final vector results serializes iterations on the
+            # full ~35us dependency chain (measured).  Checking carry-in
+            # state every K-th iteration keeps the scalar core's branch
+            # ahead of the vector pipeline; the <=K overshoot iterations are
+            # no-ops (all lanes masked off).
+            # lax.cond, not where(): the any()->scalar read drains the whole
+            # queued vector pipeline, so it must genuinely not execute on
+            # the other K-1 iterations
+            def _check():
+                busy_in = (active_i != 0) & (err_i == 0) & (
+                    (outpos < limit) | (pend_len > 0))
+                return jnp.where(jnp.any(busy_in), 1, 0).astype(_I32)
+
+            busy_s = jax.lax.cond((it & (CHECK_EVERY - 1)) == 0,
+                                  _check, lambda: jnp.int32(1))
             # loop carries hold the error flag as i32 (Mosaic has no i1
             # memory form for carry buffers); bool view inside the body
             err = err_i != 0
@@ -376,10 +396,12 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             specs = big & (slot < S.END_POS_MODEL_INDEX)
             spec_base = dist.astype(_I32) - slot - 1
 
-            # direct bits: loop exactly max(ndirect) times, masked
+            # direct bits: static 26-iteration masked loop — a dynamic
+            # max(ndirect) trip count would stall the scalar core on the
+            # vector pipeline mid-body
             directs = big & (slot >= S.END_POS_MODEL_INDEX)
             ndirect = jnp.where(directs, nd - S.NUM_ALIGN_BITS, 0)
-            nmax = jnp.max(ndirect)
+            nmax = 26  # 32 - pos-slot msb(1) - slot low bit(1) - align(4)
             (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
 
             def dbody(i, dc):
@@ -489,20 +511,17 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             nlast = gat(w_ref[:], (outpos - 1) & (PAGE - 1))
             last_byte = jnp.where(ac, nlast, last_byte)
 
-            return (it + 1, rng, code, la, la_cnt, inpos, consumed,
+            return (it + 1, busy_s, rng, code, la, la_cnt, inpos, consumed,
                     jnp.where(err, 1, 0),
                     outpos, state, rep0, rep1, rep2, rep3, last_byte,
                     pend_len, pend_dist, ipg)
 
         def cond(carry):
-            (it, rng, code, la, la_cnt, inpos, consumed, err_i,
-             outpos, state, rep0, rep1, rep2, rep3, last_byte,
-             pend_len, pend_dist, ipg) = carry
-            busy = (active_i != 0) & (err_i == 0) & ((outpos < limit)
-                                                     | (pend_len > 0))
-            return jnp.any(busy) & (it < max_iters)
+            it, busy_s = carry[0], carry[1]
+            return (busy_s != 0) & (it < max_iters)
 
         init = (jnp.int32(0),
+                jnp.int32(1),                             # busy flag (scalar)
                 jnp.full((n, PAGE), _MASK32, _U32),      # rng
                 code0,                                    # code
                 zerou,                                    # la
@@ -518,7 +537,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 zero + 1,                                 # pend_dist
                 zero)                                     # ipg
         final = jax.lax.while_loop(cond, body, init)
-        (it, rng, code, la, la_cnt, inpos, consumed, err_i,
+        (it, busy_s, rng, code, la, la_cnt, inpos, consumed, err_i,
          outpos, state, rep0, rep1, rep2, rep3, last_byte,
          pend_len, pend_dist, ipg) = final
         err = err_i != 0
@@ -584,12 +603,15 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
 def decode_chunks(src: np.ndarray, pack_len: np.ndarray,
                   unpack_len: np.ndarray, active: np.ndarray, *,
                   dic_cap: int, lc: int = 3, lp: int = 0, pb: int = 2,
-                  interpret: bool = False):
+                  interpret: bool | None = None):
     """Decode one single-chunk group per stream.
 
     src: [S, pack_cap] uint8; returns (out [S, dic_cap] uint8, ok [S] bool,
     consumed [S] int32).
     """
+    import os
+    if interpret is None:  # Mosaic needs a real TPU; CPU tests interpret
+        interpret = os.environ.get("LZT_PALLAS_INTERPRET", "0") == "1"
     n, pack_cap = src.shape
     in_pages = -(-(pack_cap + 8) // IN_PAGE_BYTES)
     out_pages = -(-dic_cap // PAGE)

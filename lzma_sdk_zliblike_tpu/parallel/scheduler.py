@@ -36,10 +36,19 @@ class BatchShape:
 
 
 class BatchedLzma2Decoder:
-    """Decodes LZMA2 streams via the lane-parallel device kernel."""
+    """Decodes LZMA2 streams via the lane-parallel device kernel.
 
-    def __init__(self, shape: BatchShape = BatchShape()):
+    engine="xla": the pure-XLA lockstep kernel (``ops/batched_decode``) —
+    handles multi-chunk groups with state carry.
+    engine="pallas": the Mosaic kernel (``ops/pallas_decode``) — whole chunk
+    loop on the vector core; v1 takes single-chunk dict-reset groups and
+    routes the rest to the XLA path.
+    """
+
+    def __init__(self, shape: BatchShape = BatchShape(),
+                 engine: str = "xla"):
         self.shape = shape
+        self.engine = engine
 
     # -- group eligibility --------------------------------------------------
     def _eligible(self, group: list[framing.Chunk]) -> bool:
@@ -90,6 +99,42 @@ class BatchedLzma2Decoder:
 
     def _decode_batch(self, stream: bytes,
                       lane_groups: list[list[framing.Chunk]]) -> list[bytes]:
+        if self.engine == "pallas":
+            single = all(len(g) == 1 and g[0].mode >= framing.MODE_STATE
+                         for g in lane_groups)
+            if single:
+                return self._decode_batch_pallas(stream, lane_groups)
+        return self._decode_batch_xla(stream, lane_groups)
+
+    def _decode_batch_pallas(self, stream: bytes,
+                             lane_groups: list[list[framing.Chunk]]
+                             ) -> list[bytes]:
+        from ..ops import pallas_decode as P
+
+        s = self.shape
+        n = s.n_lanes
+        src = np.zeros((n, s.pack_cap), np.uint8)
+        pack = np.zeros(n, np.int32)
+        unpack = np.zeros(n, np.int32)
+        act = np.zeros(n, np.int32)
+        for li, g in enumerate(lane_groups):
+            c = g[0]
+            src[li, :c.pack_size] = np.frombuffer(
+                stream, np.uint8, c.pack_size, c.data_off)
+            pack[li] = c.pack_size
+            unpack[li] = c.unpack_size
+            act[li] = 1
+        out, ok, _consumed = P.decode_chunks(
+            src, pack, unpack, act, dic_cap=s.dic_cap,
+            lc=s.lc, lp=s.lp, pb=s.pb)
+        if not ok.all():
+            raise DataError("pallas LZMA2 decode failed on at least one lane")
+        return [out[li, :unpack[li]].tobytes()
+                for li in range(len(lane_groups))]
+
+    def _decode_batch_xla(self, stream: bytes,
+                          lane_groups: list[list[framing.Chunk]]
+                          ) -> list[bytes]:
         import jax.numpy as jnp
         from ..ops import batched_decode as B
 

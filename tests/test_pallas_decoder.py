@@ -59,6 +59,16 @@ assert not ok2[3]
 for i in range(S):
     if i != 3:
         assert out2[i, :unpack[i]].tobytes() == exp[i]
+
+# end-to-end through the scheduler (engine="pallas"): full stream decode,
+# incl. copy-group and fallback routing
+import os
+os.environ["LZT_PALLAS_INTERPRET"] = "1"
+from lzma_sdk_zliblike_tpu.parallel.scheduler import (BatchedLzma2Decoder,
+                                                      BatchShape)
+dec = BatchedLzma2Decoder(BatchShape(n_lanes=8, pack_cap=CAP + 64,
+                                     dic_cap=CAP), engine="pallas")
+assert dec.decode(stream, prop) == data
 print("PALLAS_INTERPRET_OK", flush=True)
 """
 
