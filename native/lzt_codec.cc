@@ -106,17 +106,25 @@ class Decoder {
   // cursor in locals: writes through the u8 output pointer may legally
   // alias class members, so member-resident state would be reloaded from
   // memory after every emitted byte.
-  int decode(const u8* src, size_t src_len, std::vector<u8>& out,
+  int decode(const u8* src_user, size_t src_len, std::vector<u8>& out,
              size_t unpack_limit, bool until_mark, size_t dic_start,
              size_t* consumed, bool* saw_mark) {
     if (src_len < 5) return ERR_INPUT_EOF;
-    if (src[0] != 0) return ERR_DATA;
+    if (src_user[0] != 0) return ERR_DATA;
+    // Work from a zero-padded copy so renormalization needs no per-bit
+    // bounds check (the reference guarantees LZMA_REQUIRED_INPUT_MAX
+    // caller-side instead, LzmaDec.h:45-48).  Shifting in the zero
+    // padding is byte-identical to the reference's `code <<= 8` overrun
+    // behaviour; input exhaustion is detected per packet via ip > iend.
+    inbuf_.resize(src_len + 64);
+    std::memcpy(inbuf_.data(), src_user, src_len);
+    std::memset(inbuf_.data() + src_len, 0, 64);
+    const u8* src = inbuf_.data();
     const u8* ip = src + 5;
     const u8* const iend = src + src_len;
     u32 code = ((u32)src[1] << 24) | ((u32)src[2] << 16) | ((u32)src[3] << 8) |
                src[4];
     u32 range = 0xFFFFFFFFu;
-    bool overrun = false;
     *saw_mark = false;
 
     const u32 pb_mask = (1u << pb_) - 1;
@@ -137,8 +145,7 @@ class Decoder {
     auto bitp = [&](u16* p) -> unsigned {
       if (range < kTop) {
         range <<= 8;
-        if (ip < iend) code = (code << 8) | *ip++;
-        else { code <<= 8; overrun = true; }
+        code = (code << 8) | *ip++;
       }
       const u32 bound = (range >> kProbBits) * *p;
       if (code < bound) {
@@ -170,8 +177,7 @@ class Decoder {
       for (int i = 0; i < n; i++) {
         if (range < kTop) {
           range <<= 8;
-          if (ip < iend) code = (code << 8) | *ip++;
-          else { code <<= 8; overrun = true; }
+          code = (code << 8) | *ip++;
         }
         range >>= 1;
         code -= range;
@@ -221,7 +227,7 @@ class Decoder {
         }
         ob[opos++] = (u8)sym;
         state = state_after_literal(state);
-        if (overrun) return fail(ERR_INPUT_EOF);
+        if (ip > iend) return fail(ERR_INPUT_EOF);
         continue;
       }
 
@@ -233,7 +239,7 @@ class Decoder {
             ob[opos] = ob[opos - rep0 - 1];
             opos++;
             state = state < 7 ? 9 : 11;
-            if (overrun) return fail(ERR_INPUT_EOF);
+            if (ip > iend) return fail(ERR_INPUT_EOF);
             continue;
           }
         } else {
@@ -282,16 +288,28 @@ class Decoder {
         }
         rep0 = dist;
       }
-      if (overrun) return fail(ERR_INPUT_EOF);
+      if (ip > iend) return fail(ERR_INPUT_EOF);
       if ((u64)rep0 + 1 > opos - dic_start || rep0 + 1 > dict_size_)
         return fail(ERR_DATA);
       if (opos + len > out_target) return fail(ERR_DATA);
       u8* dst = ob + opos;
       const u8* sp = ob + (opos - rep0 - 1);
-      if (rep0 + 1 >= len) {
+      const u32 d = rep0 + 1;
+      if (d >= len) {
         std::memcpy(dst, sp, len);
-      } else {
+      } else if (d == 1) {
+        std::memset(dst, *sp, len);
+      } else if (len <= 16) {
         for (unsigned i = 0; i < len; i++) dst[i] = sp[i];
+      } else {
+        // overlap: seed one period, then double it (len <= 273)
+        std::memcpy(dst, sp, d);
+        u32 filled = d;
+        while (filled < len) {
+          const u32 n = filled < len - filled ? filled : len - filled;
+          std::memcpy(dst + filled, dst, n);
+          filled += n;
+        }
       }
       opos += len;
     }
@@ -300,7 +318,7 @@ class Decoder {
     if (*saw_mark && code != 0) return ERR_DATA;
     // trailing renormalize (LzmaDec.c:412 semantics): exact consumption
     if (range < kTop && ip < iend) ip++;
-    if (overrun) return ERR_INPUT_EOF;
+    if (ip > iend) return ERR_INPUT_EOF;
 
     state_ = state;
     rep_[0] = rep0; rep_[1] = rep1; rep_[2] = rep2; rep_[3] = rep3;
@@ -313,6 +331,7 @@ class Decoder {
 
  private:
   std::vector<u16> probs_;
+  std::vector<u8> inbuf_;   // zero-padded input copy (margin-free renorm)
   int state_ = 0;
   u32 rep_[4] = {0, 0, 0, 0};
 };
