@@ -12,10 +12,23 @@ memory layout is designed around what the TPU vector core can actually do:
   every probability family lives in VMEM as ``[pages, S, 128]`` — stream s is
   sublane s, a family is split into 128-entry lane pages — and one adaptive
   bit decode is: one lane-gather for the probability, a few vector ops for
-  the bound/update, and a one-hot masked store per touched page.  The pure
-  XLA version needed an O(family-width) one-hot select *and* scatter per bit;
-  here both are O(pages touched), and all families except the literal tree
-  are a single page.
+  the bound/update, and a one-hot masked store per touched page.
+* **Live-state diet (v4).**  The v2/v3 kernels carried ~17 broadcast
+  ``[S,128]`` values through the decode while-loop; with the staging rows the
+  body ran far beyond the vector register file and every iteration paid VMEM
+  spill bandwidth (measured: ablating any phase moved the time <±20% — the
+  cost was monolithic).  v4 carries only ``rng``, ``code``, ``inpos`` plus
+  ONE packed ``st[S,128]`` register whose *lane k* holds per-stream scalar
+  k (outpos, state, rep0..3, last_byte, pend_len, pend_dist, err).  Every
+  other use re-extracts with a 1-op register lane-gather (explicit
+  rematerialization: a gather from a live register costs ~1 VPU op; a spill
+  costs a VMEM round-trip).
+* **Byte-per-renorm input.**  Instead of a carried 4-byte lookahead
+  (la/la_cnt and a separate consumed counter), each renormalization fetches
+  one byte from the two staged 512-byte input pages.  ``consumed == inpos``
+  identically, and over-reads past pack_len land in the zero padding (the
+  host wrapper zero-pads), caught by the final exact-consumption check —
+  same verdict as the old per-bit overrun flag, with three fewer carries.
 * **Dictionary in VMEM, one byte per lane** (``[pages, S, 128]`` int32).
   Sequential writes (literals, match copies) go through a per-stream
   128-byte write-window register row that mirrors the current output page
@@ -27,9 +40,12 @@ memory layout is designed around what the TPU vector core can actually do:
   lane-gather: destination lane ``l`` takes source byte
   ``base + ((l - wl) mod dist)`` — the modulo makes overlapping (periodic)
   matches correct without a serial byte loop.
-* **Input is a carried 4-byte lookahead register** refilled by lane-gathers
-  from two staged 512-byte input pages; pages restage per stream only when
-  the read cursor crosses a page boundary (amortized: once per 512 bytes).
+* **Direct distance bits bounded by the dictionary.**  A match distance
+  ≥ dic_cap is invalid regardless of its bits, so the direct-bits loop runs
+  ``ceil(log2(dic_cap)) - 5`` iterations instead of the format maximum 26;
+  lanes whose slot implies more bits keep the guaranteed-too-large slot
+  base, fail the distance check, and report error exactly like the scalar
+  decoder would.
 
 Bit-exactness contract is identical to the scalar reference decoder
 (``models/lzma/decoder_ref.py``) and the XLA lockstep kernel: exact input
@@ -37,7 +53,7 @@ consumption accounting including the trailing-renormalize step of
 ``LzmaDec.c:412``, chunk-boundary ``SZ_ERROR_DATA`` semantics, end-marker
 rejection inside sized LZMA2 chunks.
 
-v1 scope: each stream decodes one whole *group* that is a single LZMA chunk
+Scope: each stream decodes one whole *group* that is a single LZMA chunk
 with dict+state+prop reset (the data-parallel unit ``Lzma2Dec.c:14-26``
 defines).  Multi-chunk groups carry state across chunks; those go through
 the XLA kernel or the in-kernel chunk loop (planned follow-up).
@@ -62,6 +78,18 @@ _MASK32 = np.uint32(0xFFFFFFFF)
 
 PAGE = 128               # lanes per table/dict page
 IN_PAGE_BYTES = 512      # staged input page: 128 LE words
+
+# packed per-stream state: lane index in the st register
+ST_OUTPOS = 0
+ST_STATE = 1
+ST_REP0 = 2
+ST_REP1 = 3
+ST_REP2 = 4
+ST_REP3 = 5
+ST_LAST = 6
+ST_PLEN = 7
+ST_PDIST = 8
+ST_ERR = 9
 
 
 # ---------------------------------------------------------------------------
@@ -106,18 +134,16 @@ def _family_layout(lc: int, lp: int):
 # kernel
 # ---------------------------------------------------------------------------
 
-def _bswap32(x):
-    x = x.astype(_U32)
-    return (((x & 0xFF) << 24) | ((x & 0xFF00) << 8)
-            | ((x >> 8) & 0xFF00) | (x >> 24))
-
-
 def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                  lc: int, lp: int, pb: int, max_iters: int):
     layout, tot_pages = _family_layout(lc, lp)
     n = n_streams
     pb_mask = (1 << pb) - 1
     lp_mask = (1 << lp) - 1
+    dic_cap = out_pages * PAGE
+    # direct-bits trip count: a valid distance needs
+    # 2^(nd+1) <= dist+1 <= dic_cap, nd = ndirect + NUM_ALIGN_BITS
+    nmax = min(26, max(0, (dic_cap - 1).bit_length() - 1 - S.NUM_ALIGN_BITS))
 
     def kernel(meta_ref, src_ref, dic_ref, status_ref,
                fam_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
@@ -144,6 +170,13 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             return jnp.take_along_axis(tbl, jnp.clip(idx, 0, PAGE - 1),
                                        axis=1)
 
+        def getv(st, k):
+            """Broadcast packed per-stream scalar k to all lanes."""
+            return gat(st, zero + k)
+
+        def setv(st, k, v):
+            return jnp.where(lane_i == k, v, st)
+
         w0 = gat(i0_ref[:], zero).astype(_U32)
         w1 = gat(i0_ref[:], zero + 1).astype(_U32)
         b0 = w0 & 0xFF
@@ -151,114 +184,44 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             | ((w0 >> 24) << 8) | (w1 & 0xFF)
         init_err = active0 & ((b0 != 0) | (pack_len < 5))
 
-        def fetch_be32(ipg, inpos, i0, i1):
-            """BE u32 at byte offset inpos, from the two staged pages."""
-            word = inpos >> 2
-            off = word - (ipg << 7)
-            v0 = jnp.where(off < PAGE, gat(i0, off), gat(i1, off - PAGE))
-            offn = off + 1
-            v1 = jnp.where(offn < PAGE, gat(i0, offn), gat(i1, offn - PAGE))
-            hi = _bswap32(v0)
-            lo = _bswap32(v1)
-            r = ((inpos & 3) << 3).astype(_U32)
-            return (hi << r) | jnp.where(r == 0, 0, lo >> (32 - r))
-
-        # carried state, all [n, PAGE] broadcast per sublane
-        # rc: rng, code, la, la_cnt, inpos, consumed, err
-        # lz: outpos, state, rep0..3, last_byte, pend_len, pend_dist, ipg
-        def refill(c, do):
-            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
-            need = do & (la_cnt < 4)
-            fetched = fetch_be32(ipg, inpos, i0_ref[:], i1_ref[:])
-            sh = (la_cnt << 3).astype(_U32)
-            la = jnp.where(need, la | (fetched >> sh), la)
-            inpos = jnp.where(need, inpos + (4 - la_cnt), inpos)
-            la_cnt = jnp.where(need, 4, la_cnt)
-            return (rng, code, la, la_cnt, inpos, consumed, err, ipg)
-
-        def renorm(c, do):
-            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
-            need = (rng < _TOP) & do
-            over = need & (consumed >= pack_len)
-            rng = jnp.where(need, rng << 8, rng)
-            code = jnp.where(need, (code << 8) | (la >> 24), code)
-            la = jnp.where(need, la << 8, la)
-            la_cnt = jnp.where(need, la_cnt - 1, la_cnt)
-            consumed = jnp.where(need, consumed + 1, consumed)
-            return (rng, code, la, la_cnt, inpos, consumed, err | over, ipg)
-
-        def bit(c, fam, idx, do):
-            """Masked adaptive bit decode vs family `fam` at index `idx`."""
-            base, width, npg = layout[fam]
-            c = renorm(c, do)
-            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
-            idx = jnp.clip(idx, 0, width - 1)
-            ln = idx & (PAGE - 1)
-            if npg == 1:
-                p = gat(fam_ref[base], ln)
-            else:
-                pg = idx >> 7
-                p = zero
-                for i in range(npg):
-                    g = gat(fam_ref[base + i], ln)
-                    p = jnp.where(pg == i, g, p)
-            bound = (rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
-            bit0 = code < bound
-            newp = jnp.where(bit0,
-                             p + ((S.RC_BIT_MODEL_TOTAL - p) >> S.RC_MOVE_BITS),
-                             p - (p >> S.RC_MOVE_BITS))
-            oh = (lane_i == ln) & do
-            if npg == 1:
-                fam_ref[base] = jnp.where(oh, newp, fam_ref[base])
-            else:
-                for i in range(npg):
-                    fam_ref[base + i] = jnp.where(
-                        oh & (pg == i), newp, fam_ref[base + i])
-            rng = jnp.where(do, jnp.where(bit0, bound, rng - bound), rng)
-            code = jnp.where(do, jnp.where(bit0, code, code - bound), code)
-            b = jnp.where(do & ~bit0, 1, 0)
-            return (rng, code, la, la_cnt, inpos, consumed, err, ipg), b
-
         CHECK_EVERY = 64  # busy-check period (power of two)
 
         def body(carry):
-            (it, busy_s, rng, code, la, la_cnt, inpos, consumed, err_i,
-             outpos, state, rep0, rep1, rep2, rep3, last_byte,
-             pend_len, pend_dist, ipg) = carry
+            (it, busy_s, rng, code, inpos, st) = carry
 
             # Termination check, lagged and periodic.  The while cond must
             # depend only on values resolvable EARLY in the body: a cond fed
             # by the body's final vector results serializes iterations on the
-            # full ~35us dependency chain (measured).  Checking carry-in
-            # state every K-th iteration keeps the scalar core's branch
-            # ahead of the vector pipeline; the <=K overshoot iterations are
-            # no-ops (all lanes masked off).
+            # full dependency chain (measured).  Checking carry-in state
+            # every K-th iteration keeps the scalar core's branch ahead of
+            # the vector pipeline; the <=K overshoot iterations are no-ops
+            # (all lanes masked off).
             # lax.cond, not where(): the any()->scalar read drains the whole
             # queued vector pipeline, so it must genuinely not execute on
             # the other K-1 iterations
             def _check():
-                busy_in = (active_i != 0) & (err_i == 0) & (
-                    (outpos < limit) | (pend_len > 0))
+                busy_in = (active_i != 0) & (getv(st, ST_ERR) == 0) & (
+                    (getv(st, ST_OUTPOS) < limit) | (getv(st, ST_PLEN) > 0))
                 return jnp.where(jnp.any(busy_in), 1, 0).astype(_I32)
 
             busy_s = jax.lax.cond((it & (CHECK_EVERY - 1)) == 0,
                                   _check, lambda: jnp.int32(1))
-            # loop carries hold the error flag as i32 (Mosaic has no i1
-            # memory form for carry buffers); bool view inside the body
-            err = err_i != 0
-            active0 = active_i != 0
+
+            outpos = getv(st, ST_OUTPOS)
 
             # ---- phase 0: page bookkeeping (scalar staging) ----------------
-            ipg_new = (inpos >> 2) >> 7
+            # ipg is a per-iteration local (the staged-page index); fetches
+            # within the iteration drift < 512 B past it, so two pages cover
+            # every renorm byte.
+            ipg = inpos >> 9
             dirty = jnp.maximum(outpos - 1, 0) >> 7
-            mpos = jnp.clip(outpos - rep0.astype(_I32) - 1,
-                            0, out_pages * PAGE - 1)
+            mpos = jnp.clip(outpos - getv(st, ST_REP0) - 1,
+                            0, dic_cap - 1)
             mpg = mpos >> 7
-            xv = jnp.where(lane_i == 0, jnp.clip(ipg_new, 0, in_pages - 1),
+            xv = jnp.where(lane_i == 0, jnp.clip(ipg, 0, in_pages - 1),
                            jnp.where(lane_i == 1, dirty,
                                      jnp.where(lane_i == 2, mpg, 0)))
             x_ref[:] = xv
-            ipg = ipg_new
             for s in range(n):
                 pg_i = x_ref[s, 0]
                 dt = x_ref[s, 1]
@@ -272,19 +235,66 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                     prev_ipg[s] = pg_i
                 m_ref[s, :] = dic_ref[mp, s, :]
 
-            # ---- phase 1: packet decode ------------------------------------
-            do = active0 & ~err & (outpos < limit) & (pend_len == 0)
-            pos_state = outpos & pb_mask
-            c = (rng, code, la, la_cnt, inpos, consumed, err, ipg)
+            def renorm(rc, do):
+                """Range renormalization: one byte from the staged pages."""
+                rng, code, inpos = rc
+                need = (rng < _TOP) & do
+                off = (inpos >> 2) - (ipg << 7)
+                v = jnp.where(off < PAGE, gat(i0_ref[:], off),
+                              gat(i1_ref[:], off - PAGE)).astype(_U32)
+                byt = (v >> ((inpos & 3) << 3).astype(_U32)) & 0xFF
+                code = jnp.where(need, (code << 8) | byt, code)
+                rng = jnp.where(need, rng << 8, rng)
+                inpos = jnp.where(need, inpos + 1, inpos)
+                return (rng, code, inpos)
 
-            c = refill(c, do)
-            c, bm = bit(c, "is_match",
-                        (state << S.NUM_POS_BITS_MAX) + pos_state, do)
+            def bit(rc, fam, idx, do):
+                """Masked adaptive bit decode vs family `fam` at `idx`."""
+                base, width, npg = layout[fam]
+                rng, code, inpos = renorm(rc, do)
+                idx = jnp.clip(idx, 0, width - 1)
+                ln = idx & (PAGE - 1)
+                if npg == 1:
+                    p = gat(fam_ref[base], ln)
+                else:
+                    pg = idx >> 7
+                    p = zero
+                    for i in range(npg):
+                        g = gat(fam_ref[base + i], ln)
+                        p = jnp.where(pg == i, g, p)
+                bound = (rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
+                bit0 = code < bound
+                newp = jnp.where(
+                    bit0,
+                    p + ((S.RC_BIT_MODEL_TOTAL - p) >> S.RC_MOVE_BITS),
+                    p - (p >> S.RC_MOVE_BITS))
+                oh = (lane_i == ln) & do
+                if npg == 1:
+                    fam_ref[base] = jnp.where(oh, newp, fam_ref[base])
+                else:
+                    for i in range(npg):
+                        fam_ref[base + i] = jnp.where(
+                            oh & (pg == i), newp, fam_ref[base + i])
+                rng = jnp.where(do, jnp.where(bit0, bound, rng - bound), rng)
+                code = jnp.where(do, jnp.where(bit0, code, code - bound),
+                                 code)
+                b = jnp.where(do & ~bit0, 1, 0)
+                return (rng, code, inpos), b
+
+            # ---- phase 1: packet decode ------------------------------------
+            err0 = getv(st, ST_ERR) != 0
+            do = active0 & ~err0 & (outpos < limit) & (getv(st, ST_PLEN) == 0)
+            pos_state = outpos & pb_mask
+            state = getv(st, ST_STATE)
+            rc = (rng, code, inpos)
+
+            rc, bm = bit(rc, "is_match",
+                         (state << S.NUM_POS_BITS_MAX) + pos_state, do)
             is_lit = do & (bm == 0)
             is_mat = do & (bm == 1)
 
             # literal
-            prev = jnp.where(outpos > 0, last_byte, 0)
+            prev = jnp.where(outpos > 0, getv(st, ST_LAST), 0)
             lit_state = ((outpos & lp_mask) << lc) + (prev >> (8 - lc))
             mb = gat(m_ref[:], mpos & (PAGE - 1))
             in_ms = state >= 7
@@ -292,45 +302,47 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             mb = jnp.where(in_ms, mb, 0)
             sym = zero + 1
             for k in range(8):
-                if k in (3, 7):
-                    c = refill(c, is_lit)
                 mb = mb << 1
                 mbit = (mb >> 8) & 1
                 plane = jnp.where(matched, 1 + mbit, 0)
                 idx = (lit_state * 3 + plane) * (1 << k) + (sym - (1 << k))
-                c, bl = bit(c, f"lit_{k}", idx, is_lit)
+                rc, bl = bit(rc, f"lit_{k}", idx, is_lit)
                 sym = jnp.where(is_lit, (sym << 1) | bl, sym)
                 matched = matched & (bl == mbit)
             lit_byte = sym & 0xFF
             wl = outpos & (PAGE - 1)
             w_ref[:] = jnp.where(is_lit & (lane_i == wl), lit_byte, w_ref[:])
             outpos = jnp.where(is_lit, outpos + 1, outpos)
-            last_byte = jnp.where(is_lit, lit_byte, last_byte)
+            st = setv(st, ST_LAST,
+                      jnp.where(is_lit, lit_byte, getv(st, ST_LAST)))
             lit_next = jnp.where(state < 4, 0,
                                  jnp.where(state < 10, state - 3, state - 6))
             state = jnp.where(is_lit, lit_next, state)
 
             # match family flags
-            c, br = bit(c, "is_rep", state, is_mat)
+            rc, br = bit(rc, "is_rep", state, is_mat)
             simple = is_mat & (br == 0)
             rep = is_mat & (br == 1)
 
-            c = refill(c, rep)
-            c, bg0 = bit(c, "is_rep_g0", state, rep)
+            rc, bg0 = bit(rc, "is_rep_g0", state, rep)
             rep_g0 = rep & (bg0 == 0)
-            c, b0l = bit(c, "is_rep0_long",
-                         (state << S.NUM_POS_BITS_MAX) + pos_state, rep_g0)
+            rc, b0l = bit(rc, "is_rep0_long",
+                          (state << S.NUM_POS_BITS_MAX) + pos_state, rep_g0)
             shortrep = rep_g0 & (b0l == 0)
             longrep0 = rep_g0 & (b0l == 1)
             repg = rep & (bg0 == 1)
-            c, bg1 = bit(c, "is_rep_g1", state, repg)
+            rc, bg1 = bit(rc, "is_rep_g1", state, repg)
             use_r1 = repg & (bg1 == 0)
             repg2 = repg & (bg1 == 1)
-            c, bg2 = bit(c, "is_rep_g2", state, repg2)
+            rc, bg2 = bit(rc, "is_rep_g2", state, repg2)
             use_r2 = repg2 & (bg2 == 0)
             use_r3 = repg2 & (bg2 == 1)
 
             rot = use_r1 | use_r2 | use_r3
+            rep0 = getv(st, ST_REP0).astype(_U32)
+            rep1 = getv(st, ST_REP1).astype(_U32)
+            rep2 = getv(st, ST_REP2).astype(_U32)
+            rep3 = getv(st, ST_REP3).astype(_U32)
             dist_rep = jnp.where(use_r1, rep1, jnp.where(use_r2, rep2, rep3))
             rep3 = jnp.where(use_r3, rep2, rep3)
             rep2 = jnp.where(use_r2 | use_r3, rep1, rep2)
@@ -341,9 +353,9 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # length
             len_lanes = simple | longrep0 | rot
             coder = jnp.where(simple, 0, 1)
-            c = refill(c, len_lanes)
-            c, c1 = bit(c, "len_choice", coder * 2, len_lanes)
-            c, c2 = bit(c, "len_choice", coder * 2 + 1, len_lanes & (c1 == 1))
+            rc, c1 = bit(rc, "len_choice", coder * 2, len_lanes)
+            rc, c2 = bit(rc, "len_choice", coder * 2 + 1,
+                         len_lanes & (c1 == 1))
             low = len_lanes & (c1 == 0)
             mid = len_lanes & (c1 == 1) & (c2 == 0)
             high = len_lanes & (c1 == 1) & (c2 == 1)
@@ -351,19 +363,15 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             ismid = jnp.where(mid, 1, 0)
             m = zero + 1
             for k in range(S.LEN_LOW_BITS):
-                if k == 0:
-                    c = refill(c, lowmid)
                 idx = (((coder * 2 + ismid) * S.POS_STATES_MAX + pos_state)
                        * (1 << k)) + (m - (1 << k))
-                c, blm = bit(c, f"lowmid_{k}", idx, lowmid)
+                rc, blm = bit(rc, f"lowmid_{k}", idx, lowmid)
                 m = jnp.where(lowmid, (m << 1) | blm, m)
             lm_sym = jnp.where(lowmid, m - S.LEN_LOW_SYMBOLS, 0)
             m = zero + 1
             for k in range(S.LEN_HIGH_BITS):
-                if k in (0, 4):
-                    c = refill(c, high)
                 idx = coder * (1 << k) + (m - (1 << k))
-                c, bh = bit(c, f"high_{k}", idx, high)
+                rc, bh = bit(rc, f"high_{k}", idx, high)
                 m = jnp.where(high, (m << 1) | bh, m)
             hi_sym = jnp.where(high, m - S.LEN_HIGH_SYMBOLS, 0)
             length = jnp.where(
@@ -374,17 +382,15 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             state = jnp.where(simple, jnp.where(state < 7, 7, 10),
                               jnp.where(longrep0 | rot,
                                         jnp.where(state < 7, 8, 11), state))
+            st = setv(st, ST_STATE, state)
 
             # distance (simple matches): slot tree
             lt_ps = jnp.minimum(length - S.MATCH_MIN_LEN,
                                 S.NUM_LEN_TO_POS_STATES - 1)
-            c = refill(c, simple)
             m = zero + 1
             for k in range(S.NUM_POS_SLOT_BITS):
-                if k == 4:
-                    c = refill(c, simple)
                 idx = lt_ps * (1 << k) + (m - (1 << k))
-                c, bs = bit(c, f"slot_{k}", idx, simple)
+                rc, bs = bit(rc, f"slot_{k}", idx, simple)
                 m = jnp.where(simple, (m << 1) | bs, m)
             slot = jnp.where(simple, m - (1 << S.NUM_POS_SLOT_BITS), 0)
 
@@ -396,64 +402,50 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             specs = big & (slot < S.END_POS_MODEL_INDEX)
             spec_base = dist.astype(_I32) - slot - 1
 
-            # direct bits: static 26-iteration masked loop — a dynamic
-            # max(ndirect) trip count would stall the scalar core on the
-            # vector pipeline mid-body
+            # direct bits: static masked loop, trip count bounded by the
+            # dictionary size (see module docstring) — a dynamic trip count
+            # from a vector reduce would stall the scalar core mid-body
             directs = big & (slot >= S.END_POS_MODEL_INDEX)
             ndirect = jnp.where(directs, nd - S.NUM_ALIGN_BITS, 0)
-            nmax = 26  # 32 - pos-slot msb(1) - slot low bit(1) - align(4)
-            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
+            (rng, code, inpos) = rc
 
             def dbody(i, dc):
-                rng, code, la, la_cnt, inpos, consumed, err_d, dval = dc
-                err = err_d != 0
+                rng, code, inpos, dval = dc
                 # ndirect > 0 exactly on `directs` lanes — avoids capturing
                 # a bool loop-invariant (Mosaic i8/i1 truncation limit)
                 act = i < ndirect
-                need_re = act & (la_cnt < 1)
-                fetched = fetch_be32(ipg, inpos, i0_ref[:], i1_ref[:])
-                sh = (la_cnt << 3).astype(_U32)
-                la = jnp.where(need_re, la | (fetched >> sh), la)
-                inpos = jnp.where(need_re, inpos + (4 - la_cnt), inpos)
-                la_cnt = jnp.where(need_re, 4, la_cnt)
                 need = (rng < _TOP) & act
-                err = err | (need & (consumed >= pack_len))
-                code = jnp.where(need, (code << 8) | (la >> 24), code)
+                off = (inpos >> 2) - (ipg << 7)
+                v = jnp.where(off < PAGE, gat(i0_ref[:], off),
+                              gat(i1_ref[:], off - PAGE)).astype(_U32)
+                byt = (v >> ((inpos & 3) << 3).astype(_U32)) & 0xFF
+                code = jnp.where(need, (code << 8) | byt, code)
                 rng = jnp.where(need, rng << 8, rng)
-                la = jnp.where(need, la << 8, la)
-                la_cnt = jnp.where(need, la_cnt - 1, la_cnt)
-                consumed = jnp.where(need, consumed + 1, consumed)
+                inpos = jnp.where(need, inpos + 1, inpos)
                 rng = jnp.where(act, rng >> 1, rng)
                 code2 = code - rng
                 t = jnp.zeros_like(code2) - (code2 >> 31)
                 code = jnp.where(act, code2 + (rng & t), code)
                 dval = jnp.where(act, (dval << 1) + (t + 1).astype(_U32),
                                  dval)
-                return (rng, code, la, la_cnt, inpos, consumed,
-                        jnp.where(err, 1, 0), dval)
+                return (rng, code, inpos, dval)
 
-            (rng, code, la, la_cnt, inpos, consumed, err_d, dval) = \
-                jax.lax.fori_loop(
-                    0, nmax, dbody,
-                    (rng, code, la, la_cnt, inpos, consumed,
-                     jnp.where(err, 1, 0), zerou))
-            err = err_d != 0
-            c = (rng, code, la, la_cnt, inpos, consumed, err, ipg)
+            (rng, code, inpos, dval) = jax.lax.fori_loop(
+                0, nmax, dbody, (rng, code, inpos, zerou))
+            rc = (rng, code, inpos)
 
             # reverse bit trees: spec-pos (≤5 bits) / align (4 bits)
-            c = refill(c, specs | directs)
             m = zero + 1
             sym_r = zero
             for i in range(5):
                 act_s = specs & (i < nd)
                 act_a = directs & (i < S.NUM_ALIGN_BITS)
                 if i == 4:
-                    c = refill(c, act_s)
-                    c, bsp = bit(c, "spec_pos", spec_base + m, act_s)
+                    rc, bsp = bit(rc, "spec_pos", spec_base + m, act_s)
                 else:
-                    c2, bsp_s = bit(c, "spec_pos", spec_base + m, act_s)
-                    c2, bsp_a = bit(c2, "align", m, act_a)
-                    c = c2
+                    rc2, bsp_s = bit(rc, "spec_pos", spec_base + m, act_s)
+                    rc2, bsp_a = bit(rc2, "align", m, act_a)
+                    rc = rc2
                     bsp = jnp.where(act_a, bsp_a, bsp_s)
                 act = act_s | (act_a if i < 4 else False)
                 m = jnp.where(act, (m << 1) | bsp, m)
@@ -468,17 +460,23 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             rep2 = jnp.where(simple, rep1, rep2)
             rep1 = jnp.where(simple, rep0, rep1)
             rep0 = jnp.where(simple, dist, rep0)
+            st = setv(st, ST_REP0, rep0.astype(_I32))
+            st = setv(st, ST_REP1, rep1.astype(_I32))
+            st = setv(st, ST_REP2, rep2.astype(_I32))
+            st = setv(st, ST_REP3, rep3.astype(_I32))
 
-            (rng, code, la, la_cnt, inpos, consumed, err, ipg) = c
+            (rng, code, inpos) = rc
             match_lanes = len_lanes
             bad = match_lanes & (rep0 + 1 > outpos.astype(_U32))
             overrun = match_lanes & (outpos + length > limit)
-            err = err | marker | bad | overrun
+            err = err0 | marker | bad | overrun
             okm = match_lanes & ~err
             pend_len = jnp.where(okm, length,
-                                 jnp.where(shortrep & ~err, 1, pend_len))
+                                 jnp.where(shortrep & ~err, 1,
+                                           getv(st, ST_PLEN)))
             pend_dist = jnp.where((okm | shortrep) & ~err,
-                                  rep0.astype(_I32) + 1, pend_dist)
+                                  rep0.astype(_I32) + 1,
+                                  getv(st, ST_PDIST))
 
             # ---- phase 2: copy step (≤ 128-wl bytes) ------------------------
             ac = active0 & ~err & (pend_len > 0)
@@ -509,41 +507,37 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             outpos = jnp.where(ac, outpos + step, outpos)
             pend_len = jnp.where(ac, pend_len - step, pend_len)
             nlast = gat(w_ref[:], (outpos - 1) & (PAGE - 1))
-            last_byte = jnp.where(ac, nlast, last_byte)
+            st = setv(st, ST_LAST,
+                      jnp.where(ac, nlast, getv(st, ST_LAST)))
 
-            return (it + 1, busy_s, rng, code, la, la_cnt, inpos, consumed,
-                    jnp.where(err, 1, 0),
-                    outpos, state, rep0, rep1, rep2, rep3, last_byte,
-                    pend_len, pend_dist, ipg)
+            st = setv(st, ST_OUTPOS, outpos)
+            st = setv(st, ST_PLEN, pend_len)
+            st = setv(st, ST_PDIST, pend_dist)
+            st = setv(st, ST_ERR, jnp.where(err, 1, 0))
+
+            return (it + 1, busy_s, rng, code, inpos, st)
 
         def cond(carry):
             it, busy_s = carry[0], carry[1]
             return (busy_s != 0) & (it < max_iters)
 
+        st0 = zero
+        st0 = jnp.where(lane_i == ST_PDIST, 1, st0)
+        st0 = jnp.where((lane_i == ST_ERR) & init_err, 1, st0)
         init = (jnp.int32(0),
                 jnp.int32(1),                             # busy flag (scalar)
                 jnp.full((n, PAGE), _MASK32, _U32),      # rng
                 code0,                                    # code
-                zerou,                                    # la
-                zero,                                     # la_cnt
                 zero + 5,                                 # inpos
-                zero + 5,                                 # consumed
-                jnp.where(init_err, 1, 0),                # err (i32)
-                zero,                                     # outpos
-                zero,                                     # state
-                zerou, zerou, zerou, zerou,               # rep0..3
-                zero,                                     # last_byte
-                zero,                                     # pend_len
-                zero + 1,                                 # pend_dist
-                zero)                                     # ipg
+                st0)                                      # packed state
         final = jax.lax.while_loop(cond, body, init)
-        (it, busy_s, rng, code, la, la_cnt, inpos, consumed, err_i,
-         outpos, state, rep0, rep1, rep2, rep3, last_byte,
-         pend_len, pend_dist, ipg) = final
-        err = err_i != 0
+        (it, busy_s, rng, code, inpos, st) = final
+        err = getv(st, ST_ERR) != 0
+        outpos = getv(st, ST_OUTPOS)
         active0 = active_i != 0
 
         # trailing renormalize (LzmaDec.c:412): exact consumption accounting
+        consumed = inpos
         tail = active0 & ~err & (rng < _TOP) & (consumed < pack_len)
         consumed = jnp.where(tail, consumed + 1, consumed)
         ok = (~err) & (outpos == limit) & (consumed == pack_len)
