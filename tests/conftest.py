@@ -19,6 +19,10 @@ sys.path.insert(0, REPO)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running subprocess test")
+
+
 @pytest.fixture(scope="session")
 def oracle():
     """Build (once) and expose the reference-SDK oracle binaries.

@@ -55,7 +55,7 @@ def test_batched_decoder_cpu_mesh():
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(REPO, "build", "jax_cache"))
     r = subprocess.run([sys.executable, "-c", INNER % {"repo": REPO}],
-                       capture_output=True, cwd=REPO, timeout=540)
+                       capture_output=True, cwd=REPO, timeout=1200)
     assert r.returncode == 0, (r.stdout.decode()[-400:]
                                + r.stderr.decode()[-400:])
     assert b"PARALLEL_GROUPS_OK" in r.stdout

@@ -36,7 +36,7 @@ def test_two_process_distributed_decode():
     import os
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     rs = run_local_cluster(2, INNER % {"repo": repo}, devices_per_proc=2,
-                           timeout=560)
+                           timeout=1200)
     for r in rs:
         assert r.returncode == 0, r.stdout.decode()[-500:]
     assert b"DIST_OK" in rs[0].stdout

@@ -83,7 +83,7 @@ def test_pallas_decoder_interpret_cpu():
     env.setdefault("JAX_COMPILATION_CACHE_DIR",
                    os.path.join(REPO, "build", "jax_cache"))
     r = subprocess.run([sys.executable, "-c", INNER % {"repo": REPO}],
-                       capture_output=True, cwd=REPO, timeout=900, env=env)
+                       capture_output=True, cwd=REPO, timeout=1800, env=env)
     assert r.returncode == 0, (r.stdout.decode()[-600:]
                                + r.stderr.decode()[-600:])
     assert b"PALLAS_INTERPRET_OK" in r.stdout
