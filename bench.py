@@ -54,9 +54,10 @@ def measure_oracle_baseline(data: bytes) -> float:
 
 def main() -> int:
     mb = int(os.environ.get("LZT_BENCH_MB", "8"))
-    # 64 lanes x 16KB chunks keeps the pallas kernel inside the 16MB
-    # scoped-VMEM limit (128 lanes needs ~18MB)
-    lanes = int(os.environ.get("LZT_BENCH_LANES", "64"))
+    # 32 lanes x 16KB chunks: [32,128] values are 4 vregs, which keeps the
+    # kernel body near the vector register file; S=64 crosses the spill
+    # cliff (measured 16.8 us/iter at S=32 vs ~100 at S=64)
+    lanes = int(os.environ.get("LZT_BENCH_LANES", "32"))
     chunk = int(os.environ.get("LZT_BENCH_CHUNK", str(1 << 14)))
     timeout_s = int(os.environ.get("LZT_BENCH_TIMEOUT", "1500"))
 

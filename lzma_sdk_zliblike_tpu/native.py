@@ -85,6 +85,16 @@ def _bind(lib: ctypes.CDLL) -> None:
         u8p, ctypes.POINTER(ctypes.c_size_t),
         ctypes.c_int,
     ]
+    if hasattr(lib, "lzt_lzma2_encode_ext"):
+        lib.lzt_lzma2_encode_ext.restype = ctypes.c_int
+        lib.lzt_lzma2_encode_ext.argtypes = [
+            u8p, ctypes.c_size_t,
+            u8p, ctypes.POINTER(ctypes.c_size_t),
+            ctypes.c_uint32, ctypes.c_uint32, ctypes.c_int,  # dict chunk par
+            ctypes.c_int, ctypes.c_int, ctypes.c_int,        # lc lp pb
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int),      # effort prop
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int,    # ext, ext_k
+        ]
 
 
 def _as_u8p(b) -> "ctypes.POINTER(ctypes.c_uint8)":
@@ -149,6 +159,32 @@ def lzma2_encode(data: bytes, dict_size: int, chunk_size: int | None,
         ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), ctypes.byref(n),
         dict_size, chunk_size or 0, 1 if parallel else 0,
         lc, lp, pb, effort, ctypes.byref(prop))
+    raise_for_sres(r)
+    return dst.raw[:n.value], prop.value
+
+
+def lzma2_encode_ext(data: bytes, ext, dict_size: int, chunk_size: int,
+                     lc: int = 3, lp: int = 0, pb: int = 2,
+                     effort: int = 9) -> tuple[bytes, int]:
+    """LZMA2 encode (parallel groups) with device match candidates.
+
+    ext: int32 C-contiguous array [len(data), K], candidate distances per
+    position (0 = none), chunk-local (the TPU finder guarantees this).
+    """
+    import numpy as np
+    lib = _load()
+    ext = np.ascontiguousarray(ext, np.int32)
+    assert ext.shape[0] >= len(data), (ext.shape, len(data))
+    cap = len(data) + len(data) // 2 + 4096 + 8 * (len(data) // 49152 + 2)
+    dst = ctypes.create_string_buffer(cap)
+    n = ctypes.c_size_t(cap)
+    prop = ctypes.c_int(0)
+    r = lib.lzt_lzma2_encode_ext(
+        _as_u8p(data), len(data),
+        ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)), ctypes.byref(n),
+        dict_size, chunk_size, 1,
+        lc, lp, pb, effort, ctypes.byref(prop),
+        ext.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), ext.shape[1])
     raise_for_sres(r)
     return dst.raw[:n.value], prop.value
 

@@ -138,6 +138,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                  lc: int, lp: int, pb: int, max_iters: int):
     layout, tot_pages = _family_layout(lc, lp)
     n = n_streams
+    # staging words pack page indices into 10-bit fields
+    assert in_pages < 1024 and out_pages < 1024, (in_pages, out_pages)
     pb_mask = (1 << pb) - 1
     lp_mask = (1 << lp) - 1
     dic_cap = out_pages * PAGE
@@ -145,9 +147,11 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
     # 2^(nd+1) <= dist+1 <= dic_cap, nd = ndirect + NUM_ALIGN_BITS
     nmax = min(26, max(0, (dic_cap - 1).bit_length() - 1 - S.NUM_ALIGN_BITS))
 
-    def kernel(meta_ref, src_ref, dic_ref, status_ref,
-               fam_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
-               x_ref, prev_ipg):
+    out_pages4 = out_pages // 4   # packed output: 4 dict pages per word page
+
+    def kernel(meta_ref, src_ref, out_ref, status_ref,
+               fam_ref, dic_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
+               x_ref, prev_ipg, tracked):
         lane_i = jax.lax.broadcasted_iota(_I32, (n, PAGE), 1)
         zero = jnp.zeros((n, PAGE), _I32)
         zerou = jnp.zeros((n, PAGE), _U32)
@@ -165,6 +169,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         i1_ref[:] = src_ref[min(1, in_pages - 1)]
         for s in range(n):
             prev_ipg[s] = jnp.int32(0)
+            tracked[s] = jnp.int32(0)
 
         def gat(tbl, idx):
             return jnp.take_along_axis(tbl, jnp.clip(idx, 0, PAGE - 1),
@@ -209,31 +214,53 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
             outpos = getv(st, ST_OUTPOS)
 
-            # ---- phase 0: page bookkeeping (scalar staging) ----------------
+            # ---- phase 0: page bookkeeping (scalar staging, all gated) -----
             # ipg is a per-iteration local (the staged-page index); fetches
             # within the iteration drift < 512 B past it, so two pages cover
             # every renorm byte.
+            #
+            # v5: every row copy here is conditional.  The write window
+            # ``w_ref`` holds the page currently being written (``cur``);
+            # it is flushed to the dictionary only when the stream crosses a
+            # page boundary (``tracked`` SMEM), and any read that lands on
+            # page ``cur`` is served from the window register instead of the
+            # dictionary.  All writes in one iteration stay within page
+            # ``cur`` (literals write 1 byte; copies are capped at the page
+            # end), so pages < cur are always complete in dic_ref.
             ipg = inpos >> 9
-            dirty = jnp.maximum(outpos - 1, 0) >> 7
-            mpos = jnp.clip(outpos - getv(st, ST_REP0) - 1,
-                            0, dic_cap - 1)
+            cur = outpos >> 7
+            rep0c = getv(st, ST_REP0)
+            statec = getv(st, ST_STATE)
+            err0 = getv(st, ST_ERR) != 0
+            do = active0 & ~err0 & (outpos < limit) & (getv(st, ST_PLEN) == 0)
+            mpos = jnp.clip(outpos - rep0c - 1, 0, dic_cap - 1)
             mpg = mpos >> 7
-            xv = jnp.where(lane_i == 0, jnp.clip(ipg, 0, in_pages - 1),
-                           jnp.where(lane_i == 1, dirty,
-                                     jnp.where(lane_i == 2, mpg, 0)))
-            x_ref[:] = xv
+            need_m = do & (statec >= 7) & (mpg != cur)
+            # ONE packed staging word per stream: scalar VMEM reads are the
+            # expensive part of the staging loop (measured: splitting these
+            # into separate x_ref lanes costs ~12 us/iter at S=32), so the
+            # scalar core reads one lane and unpacks with register ALU ops
+            packed = (jnp.clip(ipg, 0, in_pages - 1)
+                      | (cur << 10) | (mpg << 20)
+                      | jnp.where(need_m, 1 << 30, 0))
+            x_ref[:] = jnp.where(lane_i == 0, packed, 0)
             for s in range(n):
-                pg_i = x_ref[s, 0]
-                dt = x_ref[s, 1]
-                mp = x_ref[s, 2]
-                dic_ref[dt, s, :] = w_ref[s, :]
+                v = x_ref[s, 0]
+                pg_i = v & 0x3FF
+                cu = (v >> 10) & 0x3FF
+                @pl.when(cu != tracked[s])
+                def _(cu=cu, s=s):
+                    dic_ref[tracked[s], s, :] = w_ref[s, :]
+                    tracked[s] = cu
                 @pl.when(pg_i != prev_ipg[s])
                 def _(pg_i=pg_i, s=s):
                     i1p = jnp.minimum(pg_i + 1, in_pages - 1)
                     i0_ref[s, :] = src_ref[pg_i, s, :]
                     i1_ref[s, :] = src_ref[i1p, s, :]
                     prev_ipg[s] = pg_i
-                m_ref[s, :] = dic_ref[mp, s, :]
+                @pl.when((v >> 30) != 0)
+                def _(v=v, s=s):
+                    m_ref[s, :] = dic_ref[(v >> 20) & 0x3FF, s, :]
 
             def renorm(rc, do):
                 """Range renormalization: one byte from the staged pages."""
@@ -282,10 +309,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 return (rng, code, inpos), b
 
             # ---- phase 1: packet decode ------------------------------------
-            err0 = getv(st, ST_ERR) != 0
-            do = active0 & ~err0 & (outpos < limit) & (getv(st, ST_PLEN) == 0)
             pos_state = outpos & pb_mask
-            state = getv(st, ST_STATE)
+            state = statec
             rc = (rng, code, inpos)
 
             rc, bm = bit(rc, "is_match",
@@ -296,7 +321,9 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # literal
             prev = jnp.where(outpos > 0, getv(st, ST_LAST), 0)
             lit_state = ((outpos & lp_mask) << lc) + (prev >> (8 - lc))
-            mb = gat(m_ref[:], mpos & (PAGE - 1))
+            # reads on the current page come from the write window register
+            mrow = jnp.where(mpg == cur, w_ref[:], m_ref[:])
+            mb = gat(mrow, mpos & (PAGE - 1))
             in_ms = state >= 7
             matched = is_lit & in_ms
             mb = jnp.where(in_ms, mb, 0)
@@ -479,28 +506,37 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                   getv(st, ST_PDIST))
 
             # ---- phase 2: copy step (≤ 128-wl bytes) ------------------------
+            # when pend_len > 0 no literal was decoded this iteration, so
+            # outpos (and the current page) are unchanged from the carry —
+            # page-`cur` reads come from the write window register
             ac = active0 & ~err & (pend_len > 0)
             d = jnp.maximum(pend_dist, 1)
             wl = outpos & (PAGE - 1)
             step = jnp.where(ac, jnp.minimum(pend_len, PAGE - wl), 0)
             base = jnp.maximum(outpos - d, 0)
-            spg = base >> 7
-            xv2 = jnp.where(lane_i == 0, jnp.clip(spg, 0, out_pages - 1),
-                            jnp.where(lane_i == 1, jnp.where(ac, 1, 0), 0))
-            x_ref[:] = xv2
+            spg = jnp.clip(base >> 7, 0, out_pages - 1)
+            spgn = jnp.minimum(spg + 1, out_pages - 1)
+            packed2 = (spg | (spgn << 10)
+                       | jnp.where(ac & (spg != cur), 1 << 20, 0)
+                       | jnp.where(ac & (spgn != cur), 1 << 21, 0))
+            x_ref[:] = jnp.where(lane_i == 0, packed2, 0)
             for s in range(n):
-                @pl.when(x_ref[s, 1] != 0)
-                def _(s=s):
-                    sp = x_ref[s, 0]
-                    spn = jnp.minimum(sp + 1, out_pages - 1)
-                    a_ref[s, :] = dic_ref[sp, s, :]
-                    b_ref[s, :] = dic_ref[spn, s, :]
+                v2 = x_ref[s, 0]
+                @pl.when(((v2 >> 20) & 1) != 0)
+                def _(v2=v2, s=s):
+                    a_ref[s, :] = dic_ref[v2 & 0x3FF, s, :]
+                @pl.when(((v2 >> 21) & 1) != 0)
+                def _(v2=v2, s=s):
+                    b_ref[s, :] = dic_ref[(v2 >> 10) & 0x3FF, s, :]
 
+            wv = w_ref[:]
+            av = jnp.where(spg == cur, wv, a_ref[:])
+            bv = jnp.where(spgn == cur, wv, b_ref[:])
             j = lane_i - wl
             jm = jnp.where(j > 0, j % d, 0)
             off = (base & (PAGE - 1)) + jm
-            gA = gat(a_ref[:], off)
-            gB = gat(b_ref[:], off - PAGE)
+            gA = gat(av, off)
+            gB = gat(bv, off - PAGE)
             val = jnp.where(off < PAGE, gA, gB)
             wmask = ac & (j >= 0) & (j < step)
             w_ref[:] = jnp.where(wmask, val, w_ref[:])
@@ -547,11 +583,19 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         status_ref[1] = consumed
         status_ref[2] = zero + it
 
-        # final write-window flush
+        # final write-window flush (pages < dirty were flushed as `tracked`
+        # advanced; w still mirrors the last written page)
         dirty = jnp.maximum(outpos - 1, 0) >> 7
         x_ref[:] = jnp.where(lane_i == 0, dirty, 0)
         for s in range(n):
             dic_ref[x_ref[s, 0], s, :] = w_ref[s, :]
+
+        # pack 4 dict pages per output word page (4x smaller D2H transfer)
+        for q in range(out_pages4):
+            out_ref[q] = (dic_ref[4 * q]
+                          | (dic_ref[4 * q + 1] << 8)
+                          | (dic_ref[4 * q + 2] << 16)
+                          | (dic_ref[4 * q + 3] << 24))
 
     return kernel, tot_pages
 
@@ -568,8 +612,8 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
     return pl.pallas_call(
         kernel,
         out_shape=(
-            jax.ShapeDtypeStruct((out_pages, n, PAGE), _I32),  # dic bytes
-            jax.ShapeDtypeStruct((3, n, PAGE), _I32),          # status
+            jax.ShapeDtypeStruct((out_pages // 4, n, PAGE), _I32),  # packed
+            jax.ShapeDtypeStruct((3, n, PAGE), _I32),               # status
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM)],
@@ -577,6 +621,7 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((tot_pages, n, PAGE), _I32),   # fam
+            pltpu.VMEM((out_pages, n, PAGE), _I32),   # dic bytes
             pltpu.VMEM((n, PAGE), _I32),              # W  write window
             pltpu.VMEM((n, PAGE), _I32),              # M  matched-byte row
             pltpu.VMEM((n, PAGE), _I32),              # A  copy src row
@@ -585,6 +630,7 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
             pltpu.VMEM((n, PAGE), _I32),              # I1 input page+1
             pltpu.VMEM((n, PAGE), _I32),              # X  scalar xfer
             pltpu.SMEM((n,), _I32),                   # prev input page
+            pltpu.SMEM((n,), _I32),                   # tracked write page
         ],
         interpret=interpret,
     )(meta, src_words)
@@ -594,14 +640,16 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
 # host wrapper
 # ---------------------------------------------------------------------------
 
-def decode_chunks(src: np.ndarray, pack_len: np.ndarray,
+def submit_chunks(src: np.ndarray, pack_len: np.ndarray,
                   unpack_len: np.ndarray, active: np.ndarray, *,
                   dic_cap: int, lc: int = 3, lp: int = 0, pb: int = 2,
                   interpret: bool | None = None):
-    """Decode one single-chunk group per stream.
+    """Enqueue one decode call; returns device arrays (async dispatch).
 
-    src: [S, pack_cap] uint8; returns (out [S, dic_cap] uint8, ok [S] bool,
-    consumed [S] int32).
+    JAX dispatch is asynchronous: the returned (dic, status) device arrays
+    materialize later, so callers can queue several batches back-to-back and
+    overlap host-side batch assembly + dispatch latency with device compute
+    (the MtCoder read-ring equivalent for the device path).
     """
     import os
     if interpret is None:  # Mosaic needs a real TPU; CPU tests interpret
@@ -609,6 +657,7 @@ def decode_chunks(src: np.ndarray, pack_len: np.ndarray,
     n, pack_cap = src.shape
     in_pages = -(-(pack_cap + 8) // IN_PAGE_BYTES)
     out_pages = -(-dic_cap // PAGE)
+    out_pages += (-out_pages) % 4      # packed output: 4 pages per word
     # LE word packing, shaped [in_pages, S, 128]
     padded = np.zeros((n, in_pages * IN_PAGE_BYTES), np.uint8)
     padded[:, :pack_cap] = src
@@ -618,13 +667,35 @@ def decode_chunks(src: np.ndarray, pack_len: np.ndarray,
     meta[0] = np.asarray(pack_len, np.int32)[:, None]
     meta[1] = np.asarray(unpack_len, np.int32)[:, None]
     meta[2] = np.asarray(active, np.int32)[:, None]
-    dic, status = _decode_call(
+    return _decode_call(
         jnp.asarray(meta), jnp.asarray(words),
         n_streams=n, in_pages=in_pages, out_pages=out_pages,
         lc=lc, lp=lp, pb=pb, interpret=interpret)
-    dic = np.asarray(dic)   # [out_pages, S, 128]
-    status = np.asarray(status)
-    out = dic.transpose(1, 0, 2).reshape(n, out_pages * PAGE).astype(np.uint8)
+
+
+def finalize_chunks(handle, *, dic_cap: int):
+    """Materialize a submit_chunks result: (out, ok, consumed)."""
+    packed, status = handle
+    packed = np.asarray(packed)   # [out_pages//4, S, 128] int32, LE bytes =
+    status = np.asarray(status)   # pages 4q..4q+3 interleaved per lane
+    q, n, _ = packed.shape
+    out = (np.ascontiguousarray(packed).view(np.uint8)
+           .reshape(q, n, PAGE, 4).transpose(1, 0, 3, 2).reshape(n, -1))
     ok = status[0, :, 0] != 0
     consumed = status[1, :, 0]
     return out[:, :dic_cap], ok, consumed
+
+
+def decode_chunks(src: np.ndarray, pack_len: np.ndarray,
+                  unpack_len: np.ndarray, active: np.ndarray, *,
+                  dic_cap: int, lc: int = 3, lp: int = 0, pb: int = 2,
+                  interpret: bool | None = None):
+    """Decode one single-chunk group per stream (submit + finalize).
+
+    src: [S, pack_cap] uint8; returns (out [S, dic_cap] uint8, ok [S] bool,
+    consumed [S] int32).
+    """
+    handle = submit_chunks(src, pack_len, unpack_len, active,
+                           dic_cap=dic_cap, lc=lc, lp=lp, pb=pb,
+                           interpret=interpret)
+    return finalize_chunks(handle, dic_cap=dic_cap)

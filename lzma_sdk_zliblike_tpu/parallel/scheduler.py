@@ -90,25 +90,32 @@ class BatchedLzma2Decoder:
         s = self.shape
         device_idx.sort(
             key=lambda gi: -sum(c.pack_size for c in groups[gi]))
-        for base in range(0, len(device_idx), s.n_lanes):
-            lane_groups = device_idx[base:base + s.n_lanes]
-            outs = self._decode_batch(stream, [groups[i] for i in lane_groups])
-            for gi, data in zip(lane_groups, outs):
+        batches = [device_idx[base:base + s.n_lanes]
+                   for base in range(0, len(device_idx), s.n_lanes)]
+        # pipeline: submit every pallas-eligible batch before finalizing any
+        # (async JAX dispatch overlaps device compute with host assembly and
+        # per-call dispatch latency); XLA-path batches run synchronously
+        pending: list[tuple[list[int], object]] = []
+        for lane_idx in batches:
+            lane_groups = [groups[i] for i in lane_idx]
+            if self.engine == "pallas" and all(
+                    len(g) == 1 and g[0].mode >= framing.MODE_STATE
+                    for g in lane_groups):
+                pending.append((lane_idx, self._submit_batch_pallas(
+                    stream, lane_groups)))
+            else:
+                outs = self._decode_batch_xla(stream, lane_groups)
+                for gi, data in zip(lane_idx, outs):
+                    results[gi] = data
+        for lane_idx, handle in pending:
+            outs = self._finalize_batch_pallas(
+                handle, [groups[i] for i in lane_idx])
+            for gi, data in zip(lane_idx, outs):
                 results[gi] = data
         return results  # type: ignore[return-value]
 
-    def _decode_batch(self, stream: bytes,
-                      lane_groups: list[list[framing.Chunk]]) -> list[bytes]:
-        if self.engine == "pallas":
-            single = all(len(g) == 1 and g[0].mode >= framing.MODE_STATE
-                         for g in lane_groups)
-            if single:
-                return self._decode_batch_pallas(stream, lane_groups)
-        return self._decode_batch_xla(stream, lane_groups)
-
-    def _decode_batch_pallas(self, stream: bytes,
-                             lane_groups: list[list[framing.Chunk]]
-                             ) -> list[bytes]:
+    def _submit_batch_pallas(self, stream: bytes,
+                             lane_groups: list[list[framing.Chunk]]):
         from ..ops import pallas_decode as P
 
         s = self.shape
@@ -124,13 +131,20 @@ class BatchedLzma2Decoder:
             pack[li] = c.pack_size
             unpack[li] = c.unpack_size
             act[li] = 1
-        out, ok, _consumed = P.decode_chunks(
-            src, pack, unpack, act, dic_cap=s.dic_cap,
-            lc=s.lc, lp=s.lp, pb=s.pb)
-        if not ok.all():
+        return P.submit_chunks(src, pack, unpack, act, dic_cap=s.dic_cap,
+                               lc=s.lc, lp=s.lp, pb=s.pb)
+
+    def _finalize_batch_pallas(self, handle,
+                               lane_groups: list[list[framing.Chunk]]
+                               ) -> list[bytes]:
+        from ..ops import pallas_decode as P
+
+        out, ok, _consumed = P.finalize_chunks(handle,
+                                               dic_cap=self.shape.dic_cap)
+        if not ok[:len(lane_groups)].all():
             raise DataError("pallas LZMA2 decode failed on at least one lane")
-        return [out[li, :unpack[li]].tobytes()
-                for li in range(len(lane_groups))]
+        return [out[li, :g[0].unpack_size].tobytes()
+                for li, g in enumerate(lane_groups)]
 
     def _decode_batch_xla(self, stream: bytes,
                           lane_groups: list[list[framing.Chunk]]

@@ -1011,6 +1011,16 @@ class Encoder {
   // total_n is the full buffer length — the match finder may look past
   // `end` when measuring candidates (caller caps emitted lengths), which
   // keeps decisions identical to the Python reference encoder.
+  // External (device-computed) match candidates for the fast parse: row
+  // ``ext[pos * ext_k + k]`` holds the k-th candidate distance for data
+  // position ``pos`` (0 = none), nearest-first.  Produced by the TPU
+  // sorted-bucket finder (ops/match_find.py); true lengths are re-measured
+  // here with a memcmp, so candidates only need to be *valid*, not exact.
+  void set_ext_candidates(const int32_t* ext, int k) {
+    ext_ = ext;
+    ext_k_ = k;
+  }
+
   std::vector<u8> encode_segment(const u8* data, size_t total_n, size_t start,
                                  size_t end, size_t dic_start, bool end_mark) {
     RangeEncoder rc;
@@ -1018,7 +1028,30 @@ class Encoder {
     const u32 lp_mask = (1u << lp_) - 1;
 
     MatchFinder mf(data, total_n, dict_size_, max_chain_, nice_len_);
-    for (size_t j = dic_start; j < start; j++) mf.insert(j);
+    if (!ext_)
+      for (size_t j = dic_start; j < start; j++) mf.insert(j);
+    auto mf_ins = [&](size_t j) { if (!ext_) mf.insert(j); };
+    auto probe = [&](size_t pi, unsigned* bl, u32* bd) {
+      if (!ext_) {
+        mf.best_match(pi, end, bl, bd);
+        return;
+      }
+      *bl = 0;
+      *bd = 0;
+      const size_t limit = (total_n - pi) < 273 ? (total_n - pi) : 273;
+      for (int k = 0; k < ext_k_; k++) {
+        const int32_t d = ext_[pi * (size_t)ext_k_ + k];
+        if (d <= 0 || (int64_t)pi - d < (int64_t)dic_start ||
+            (u32)d > dict_size_)
+          continue;
+        if (data[pi - d] != data[pi]) continue;
+        const size_t ln = match_len(data + pi - d, data + pi, limit);
+        if (ln > *bl) {
+          *bl = (unsigned)ln;
+          *bd = (u32)d;
+        }
+      }
+    };
 
     int state = state_;
     u32 rep0 = rep_[0], rep1 = rep_[1], rep2 = rep_[2], rep3 = rep_[3];
@@ -1030,7 +1063,7 @@ class Encoder {
 
       unsigned best_len;
       u32 best_dist;
-      mf.best_match(i, end, &best_len, &best_dist);
+      probe(i, &best_len, &best_dist);
       if (best_len > end - i) best_len = (unsigned)(end - i);
       if (best_len < kMatchMinLen) best_len = 0;
 
@@ -1057,11 +1090,11 @@ class Encoder {
       bool mf_inserted = false;
       if ((use_match || (use_rep && !use_match)) && i + 1 < end &&
           chosen_len < (unsigned)nice_len_) {
-        mf.insert(i);
+        mf_ins(i);
         mf_inserted = true;
         unsigned nl;
         u32 nd;
-        mf.best_match(i + 1, end, &nl, &nd);
+        probe(i + 1, &nl, &nd);
         if (nl > chosen_len + 1) {
           use_match = false;
           use_rep = false;
@@ -1112,8 +1145,8 @@ class Encoder {
           encode_dist(rc, length, dist);
           state = state < 7 ? 7 : 10;
         }
-        if (!mf_inserted) mf.insert(i);
-        for (size_t j = i + 1; j < i + length; j++) mf.insert(j);
+        if (!mf_inserted) mf_ins(i);
+        for (size_t j = i + 1; j < i + length; j++) mf_ins(j);
         i += length;
       } else {
         // short-rep opportunity in match states
@@ -1125,7 +1158,7 @@ class Encoder {
           rc.encode_bit(
               &probs_[IS_REP0_LONG + (state << kPosBitsMax) + pos_state], 0);
           state = state < 7 ? 9 : 11;
-          if (!mf_inserted) mf.insert(i);
+          if (!mf_inserted) mf_ins(i);
           i += 1;
           continue;
         }
@@ -1155,7 +1188,7 @@ class Encoder {
           }
         }
         state = state_after_literal(state);
-        if (!mf_inserted) mf.insert(i);
+        if (!mf_inserted) mf_ins(i);
         i += 1;
       }
     }
@@ -1225,6 +1258,8 @@ class Encoder {
   std::vector<u16> probs_;
   int state_ = 0;
   u32 rep_[4] = {0, 0, 0, 0};
+  const int32_t* ext_ = nullptr;   // device-computed match candidates
+  int ext_k_ = 0;
 };
 
 // ==========================================================================
@@ -1340,10 +1375,11 @@ extern "C" {
 // Encode to a raw LZMA2 stream with dict-reset groups (parallel=1) or a
 // single continued stream (parallel=0).  Returns SRes; *prop_out gets the
 // dict-size prop byte.
-int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
-                     size_t* dst_len, uint32_t dict_size, uint32_t chunk_size,
-                     int parallel, int lc, int lp, int pb, int effort,
-                     int* prop_out) {
+static int lzma2_encode_impl(const uint8_t* src, size_t n, uint8_t* dst,
+                             size_t* dst_len, uint32_t dict_size,
+                             uint32_t chunk_size, int parallel, int lc, int lp,
+                             int pb, int effort, int* prop_out,
+                             const int32_t* ext, int ext_k) {
   using namespace lzt;
   // smallest prop byte covering dict_size: size = (2|(k&1)) << (k/2+11)
   int prop = 40;
@@ -1382,6 +1418,10 @@ int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
     // group encoding byte-identical to this single-threaded loop)
     const u8* gsrc = src + group_start;
     const size_t gn = group_end - group_start;
+    // device candidates index positions relative to the group slice; the
+    // optimal parser keeps its own deeper finder
+    if (ext && effort < 10)
+      enc.set_ext_candidates(ext + group_start * (size_t)ext_k, ext_k);
     enc.reset_state();
     bool first = true;
     bool need_reset = true;
@@ -1434,6 +1474,28 @@ int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
   dst[w++] = 0;  // EOS
   *dst_len = w;
   return OK;
+}
+
+int lzt_lzma2_encode(const uint8_t* src, size_t n, uint8_t* dst,
+                     size_t* dst_len, uint32_t dict_size, uint32_t chunk_size,
+                     int parallel, int lc, int lp, int pb, int effort,
+                     int* prop_out) {
+  return lzma2_encode_impl(src, n, dst, dst_len, dict_size, chunk_size,
+                           parallel, lc, lp, pb, effort, prop_out, nullptr, 0);
+}
+
+// Same as lzt_lzma2_encode but the fast parse consumes device-computed
+// match candidates: ext[pos * ext_k + k] = k-th candidate distance for
+// absolute position pos of src (0 = none).  Candidate distances must not
+// reach across dict-reset group boundaries (the TPU finder runs per chunk,
+// so this holds by construction when chunk_size matches).
+int lzt_lzma2_encode_ext(const uint8_t* src, size_t n, uint8_t* dst,
+                         size_t* dst_len, uint32_t dict_size,
+                         uint32_t chunk_size, int parallel, int lc, int lp,
+                         int pb, int effort, int* prop_out,
+                         const int32_t* ext, int ext_k) {
+  return lzma2_encode_impl(src, n, dst, dst_len, dict_size, chunk_size,
+                           parallel, lc, lp, pb, effort, prop_out, ext, ext_k);
 }
 
 // Decode a raw LZMA2 stream (no leading prop byte in src).

@@ -22,6 +22,7 @@ import numpy as np
 def main():
     S_ = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     chunk = (int(sys.argv[2]) if len(sys.argv) > 2 else 16) << 10
+    lc = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 
     from tests.corpus import big_mixed
     from lzma_sdk_zliblike_tpu.models.lzma2 import framing
@@ -29,7 +30,7 @@ def main():
     import jax.numpy as jnp
 
     data = big_mixed(max(2 << 20, chunk * S_ * 2))
-    stream, prop = framing.encode(data, dict_size=chunk, chunk_size=chunk)
+    stream, prop = framing.encode(data, dict_size=chunk, chunk_size=chunk, lc=lc)
     chunks, _ = framing.scan(stream)
     singles = [c for g in framing.split_groups(chunks)
                for c in g if len(g) == 1 and c.is_lzma][:S_]
@@ -57,7 +58,7 @@ def main():
     mj, wj = jnp.asarray(meta), jnp.asarray(words)
     t0 = time.time()
     dic, status = P._decode_call(mj, wj, n_streams=S_, in_pages=in_pages,
-                                 out_pages=out_pages, lc=3, lp=0, pb=2)
+                                 out_pages=out_pages, lc=lc, lp=0, pb=2)
     status = np.asarray(status)
     print(f"compile+run: {time.time()-t0:.1f}s", file=sys.stderr)
     iters = int(status[2, :, 0].max())
@@ -68,7 +69,7 @@ def main():
     t0 = time.time()
     for _ in range(reps):
         dic, status = P._decode_call(mj, wj, n_streams=S_, in_pages=in_pages,
-                                     out_pages=out_pages, lc=3, lp=0, pb=2)
+                                     out_pages=out_pages, lc=lc, lp=0, pb=2)
     np.asarray(status)
     dt = (time.time() - t0) / reps
     tot_bytes = int(ul.sum())

@@ -64,8 +64,10 @@ def main():
 
     t0 = time.time()
     total = 0
-    for src, pl_, ul, act, grp in batches:
-        out, ok, cons = P.decode_chunks(src, pl_, ul, act, dic_cap=chunk)
+    handles = [P.submit_chunks(src, pl_, ul, act, dic_cap=chunk)
+               for src, pl_, ul, act, grp in batches]
+    for (src, pl_, ul, act, grp), h in zip(batches, handles):
+        out, ok, cons = P.finalize_chunks(h, dic_cap=chunk)
         assert ok[act != 0].all()
         total += int(ul.sum())
     dt = time.time() - t0
