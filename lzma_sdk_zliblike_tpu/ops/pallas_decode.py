@@ -29,17 +29,23 @@ memory layout is designed around what the TPU vector core can actually do:
   identically, and over-reads past pack_len land in the zero padding (the
   host wrapper zero-pads), caught by the final exact-consumption check —
   same verdict as the old per-bit overrun flag, with three fewer carries.
-* **Dictionary in VMEM, one byte per lane** (``[pages, S, 128]`` int32).
-  Sequential writes (literals, match copies) go through a per-stream
-  128-byte write-window register row that mirrors the current output page
-  and is flushed to the dictionary ref once per iteration.  Random reads
-  (matched literals, match-copy sources) stage 1-2 dictionary rows per
-  stream with scalar-indexed dynamic slices — the scalar core resolves the
-  per-stream addresses while the vector core does the bit arithmetic.
-* **Match copies move up to 128 bytes per iteration** with a single masked
-  lane-gather: destination lane ``l`` takes source byte
-  ``base + ((l - wl) mod dist)`` — the modulo makes overlapping (periodic)
-  matches correct without a serial byte loop.
+* **Dictionary = the packed int32 output buffer** (v6): byte ``p`` of
+  stream ``s`` lives at ``out[p>>9, s, p&127]`` bits ``8*((p>>7)&3)`` — a
+  512-byte *word page* per row.  Sequential writes (literals, match
+  copies) go through a per-stream word-page write window ``w`` that is
+  flushed only when the stream crosses a 512-byte boundary; any read that
+  lands on the current word page is served from the window register.
+  Random reads (matched literals, match-copy sources) stage 1-2 word rows
+  per stream with scalar-indexed dynamic slices — the scalar core
+  resolves the per-stream addresses (ONE packed staging word per stream:
+  scalar VMEM reads dominate the staging loop, so all indices travel in
+  one lane) while the vector core does the bit arithmetic.
+* **Match copies move up to 512 bytes per iteration**: each of the 4 byte
+  slots of the word window gets a masked lane-gather — destination byte
+  ``outpos + j`` takes source byte ``base + (j mod dist)`` — the modulo
+  makes overlapping (periodic) matches correct without a serial byte loop.
+* **Input stays in HBM** and is DMA'd per stream into two staged 512-byte
+  pages on demand (~1 DMA wait per 512 consumed bytes).
 * **Direct distance bits bounded by the dictionary.**  A match distance
   ≥ dic_cap is invalid regardless of its bits, so the direct-bits loop runs
   ``ceil(log2(dic_cap)) - 5`` iterations instead of the format maximum 26;
@@ -147,11 +153,14 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
     # 2^(nd+1) <= dist+1 <= dic_cap, nd = ndirect + NUM_ALIGN_BITS
     nmax = min(26, max(0, (dic_cap - 1).bit_length() - 1 - S.NUM_ALIGN_BITS))
 
-    out_pages4 = out_pages // 4   # packed output: 4 dict pages per word page
+    out_pages4 = out_pages // 4   # packed dict/output: 4 dict pages per
+                                  # word page of 128 lanes x 4 byte slots;
+                                  # byte p lives at [p>>9, s, p&127],
+                                  # bits 8*((p>>7)&3)
 
     def kernel(meta_ref, src_ref, out_ref, status_ref,
-               fam_ref, dic_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
-               x_ref, prev_ipg, tracked):
+               fam_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
+               x_ref, prev_ipg, tracked, pend_dma, dsem, isem):
         lane_i = jax.lax.broadcasted_iota(_I32, (n, PAGE), 1)
         zero = jnp.zeros((n, PAGE), _I32)
         zerou = jnp.zeros((n, PAGE), _U32)
@@ -165,11 +174,17 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         # ---- init ---------------------------------------------------------
         fam_ref[:] = jnp.full((tot_pages, n, PAGE), S.PROB_INIT, _I32)
         w_ref[:] = zero
-        i0_ref[:] = src_ref[0]
-        i1_ref[:] = src_ref[min(1, in_pages - 1)]
+        cp0 = pltpu.make_async_copy(src_ref.at[0], i0_ref, isem)
+        cp0.start()
+        cp1 = pltpu.make_async_copy(src_ref.at[min(1, in_pages - 1)],
+                                    i1_ref, isem)
+        cp1.start()
+        cp0.wait()
+        cp1.wait()
         for s in range(n):
             prev_ipg[s] = jnp.int32(0)
             tracked[s] = jnp.int32(0)
+            pend_dma[s] = jnp.int32(0)
 
         def gat(tbl, idx):
             return jnp.take_along_axis(tbl, jnp.clip(idx, 0, PAGE - 1),
@@ -215,33 +230,35 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             outpos = getv(st, ST_OUTPOS)
 
             # ---- phase 0: page bookkeeping (scalar staging, all gated) -----
-            # ipg is a per-iteration local (the staged-page index); fetches
-            # within the iteration drift < 512 B past it, so two pages cover
-            # every renorm byte.
+            # ipg is a per-iteration local (the staged input-page index);
+            # fetches within the iteration drift < 512 B past it, so two
+            # pages cover every renorm byte.  Input pages are DMA'd from
+            # HBM on demand (~1 DMA wait per 512 consumed bytes).
             #
-            # v5: every row copy here is conditional.  The write window
-            # ``w_ref`` holds the page currently being written (``cur``);
-            # it is flushed to the dictionary only when the stream crosses a
-            # page boundary (``tracked`` SMEM), and any read that lands on
-            # page ``cur`` is served from the window register instead of the
-            # dictionary.  All writes in one iteration stay within page
-            # ``cur`` (literals write 1 byte; copies are capped at the page
-            # end), so pages < cur are always complete in dic_ref.
+            # The write window ``w_ref`` holds the 512-byte word page
+            # currently being written (``cur_w``), in the packed output
+            # layout; it is flushed to ``out_ref`` only when the stream
+            # crosses a word-page boundary (``tracked`` SMEM), and any read
+            # that lands on page ``cur_w`` is served from the window
+            # register.  All writes in one iteration stay within page
+            # ``cur_w`` (literals write 1 byte; copies are capped at the
+            # word-page end), so pages < cur_w are always complete in
+            # out_ref.
             ipg = inpos >> 9
-            cur = outpos >> 7
+            cur_w = outpos >> 9
             rep0c = getv(st, ST_REP0)
             statec = getv(st, ST_STATE)
             err0 = getv(st, ST_ERR) != 0
             do = active0 & ~err0 & (outpos < limit) & (getv(st, ST_PLEN) == 0)
             mpos = jnp.clip(outpos - rep0c - 1, 0, dic_cap - 1)
-            mpg = mpos >> 7
-            need_m = do & (statec >= 7) & (mpg != cur)
+            m_w = mpos >> 9
+            need_m = do & (statec >= 7) & (m_w != cur_w)
             # ONE packed staging word per stream: scalar VMEM reads are the
             # expensive part of the staging loop (measured: splitting these
             # into separate x_ref lanes costs ~12 us/iter at S=32), so the
             # scalar core reads one lane and unpacks with register ALU ops
             packed = (jnp.clip(ipg, 0, in_pages - 1)
-                      | (cur << 10) | (mpg << 20)
+                      | (cur_w << 10) | (m_w << 20)
                       | jnp.where(need_m, 1 << 30, 0))
             x_ref[:] = jnp.where(lane_i == 0, packed, 0)
             for s in range(n):
@@ -250,17 +267,30 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 cu = (v >> 10) & 0x3FF
                 @pl.when(cu != tracked[s])
                 def _(cu=cu, s=s):
-                    dic_ref[tracked[s], s, :] = w_ref[s, :]
+                    out_ref[tracked[s], s, :] = w_ref[s, :]
                     tracked[s] = cu
+                # input double-buffer: i1 always holds the NEXT page,
+                # prefetched at the previous advance.  The wait is deferred
+                # to the iteration after the start — i1 is not read until
+                # ~500 input bytes later, so the DMA latency is off the
+                # critical path.
+                @pl.when(pend_dma[s] != 0)
+                def _(s=s):
+                    pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
+                                          dsem.at[s]).wait()
+                    pend_dma[s] = jnp.int32(0)
                 @pl.when(pg_i != prev_ipg[s])
                 def _(pg_i=pg_i, s=s):
+                    i0_ref[s, :] = i1_ref[s, :]
                     i1p = jnp.minimum(pg_i + 1, in_pages - 1)
-                    i0_ref[s, :] = src_ref[pg_i, s, :]
-                    i1_ref[s, :] = src_ref[i1p, s, :]
+                    cb = pltpu.make_async_copy(src_ref.at[i1p, s],
+                                               i1_ref.at[s], dsem.at[s])
+                    cb.start()
+                    pend_dma[s] = jnp.int32(1)
                     prev_ipg[s] = pg_i
                 @pl.when((v >> 30) != 0)
                 def _(v=v, s=s):
-                    m_ref[s, :] = dic_ref[(v >> 20) & 0x3FF, s, :]
+                    m_ref[s, :] = out_ref[(v >> 20) & 0x3FF, s, :]
 
             def renorm(rc, do):
                 """Range renormalization: one byte from the staged pages."""
@@ -321,9 +351,10 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # literal
             prev = jnp.where(outpos > 0, getv(st, ST_LAST), 0)
             lit_state = ((outpos & lp_mask) << lc) + (prev >> (8 - lc))
-            # reads on the current page come from the write window register
-            mrow = jnp.where(mpg == cur, w_ref[:], m_ref[:])
-            mb = gat(mrow, mpos & (PAGE - 1))
+            # reads on the current word page come from the write window
+            mrow = jnp.where(m_w == cur_w, w_ref[:], m_ref[:])
+            mb = (gat(mrow, mpos & (PAGE - 1))
+                  >> (((mpos >> 7) & 3) << 3)) & 0xFF
             in_ms = state >= 7
             matched = is_lit & in_ms
             mb = jnp.where(in_ms, mb, 0)
@@ -338,7 +369,12 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 matched = matched & (bl == mbit)
             lit_byte = sym & 0xFF
             wl = outpos & (PAGE - 1)
-            w_ref[:] = jnp.where(is_lit & (lane_i == wl), lit_byte, w_ref[:])
+            lsh = ((outpos >> 7) & 3) << 3
+            wv0 = w_ref[:]
+            w_ref[:] = jnp.where(
+                is_lit & (lane_i == wl),
+                (wv0 & (((zero + 0xFF) << lsh) ^ -1)) | (lit_byte << lsh),
+                wv0)
             outpos = jnp.where(is_lit, outpos + 1, outpos)
             st = setv(st, ST_LAST,
                       jnp.where(is_lit, lit_byte, getv(st, ST_LAST)))
@@ -505,44 +541,54 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                   rep0.astype(_I32) + 1,
                                   getv(st, ST_PDIST))
 
-            # ---- phase 2: copy step (≤ 128-wl bytes) ------------------------
+            # ---- phase 2: copy step (≤ 512-wl bytes) ------------------------
             # when pend_len > 0 no literal was decoded this iteration, so
-            # outpos (and the current page) are unchanged from the carry —
-            # page-`cur` reads come from the write window register
+            # outpos (and the current word page) are unchanged from the
+            # carry — page-`cur_w` reads come from the write window.  The
+            # destination is the packed word window: each of the 4 byte
+            # slots gets its own masked source gather, so one iteration
+            # moves up to 512 - (outpos & 511) bytes.
             ac = active0 & ~err & (pend_len > 0)
             d = jnp.maximum(pend_dist, 1)
-            wl = outpos & (PAGE - 1)
-            step = jnp.where(ac, jnp.minimum(pend_len, PAGE - wl), 0)
+            wl512 = outpos & 511
+            step = jnp.where(ac, jnp.minimum(pend_len, 512 - wl512), 0)
             base = jnp.maximum(outpos - d, 0)
-            spg = jnp.clip(base >> 7, 0, out_pages - 1)
-            spgn = jnp.minimum(spg + 1, out_pages - 1)
+            spg = jnp.clip(base >> 9, 0, out_pages4 - 1)
+            spgn = jnp.minimum(spg + 1, out_pages4 - 1)
             packed2 = (spg | (spgn << 10)
-                       | jnp.where(ac & (spg != cur), 1 << 20, 0)
-                       | jnp.where(ac & (spgn != cur), 1 << 21, 0))
+                       | jnp.where(ac & (spg != cur_w), 1 << 20, 0)
+                       | jnp.where(ac & (spgn != cur_w), 1 << 21, 0))
             x_ref[:] = jnp.where(lane_i == 0, packed2, 0)
             for s in range(n):
                 v2 = x_ref[s, 0]
                 @pl.when(((v2 >> 20) & 1) != 0)
                 def _(v2=v2, s=s):
-                    a_ref[s, :] = dic_ref[v2 & 0x3FF, s, :]
+                    a_ref[s, :] = out_ref[v2 & 0x3FF, s, :]
                 @pl.when(((v2 >> 21) & 1) != 0)
                 def _(v2=v2, s=s):
-                    b_ref[s, :] = dic_ref[(v2 >> 10) & 0x3FF, s, :]
+                    b_ref[s, :] = out_ref[(v2 >> 10) & 0x3FF, s, :]
 
             wv = w_ref[:]
-            av = jnp.where(spg == cur, wv, a_ref[:])
-            bv = jnp.where(spgn == cur, wv, b_ref[:])
-            j = lane_i - wl
-            jm = jnp.where(j > 0, j % d, 0)
-            off = (base & (PAGE - 1)) + jm
-            gA = gat(av, off)
-            gB = gat(bv, off - PAGE)
-            val = jnp.where(off < PAGE, gA, gB)
-            wmask = ac & (j >= 0) & (j < step)
-            w_ref[:] = jnp.where(wmask, val, w_ref[:])
+            av = jnp.where(spg == cur_w, wv, a_ref[:])
+            bv = jnp.where(spgn == cur_w, wv, b_ref[:])
+            b512 = base & 511
+            wnew = zero
+            for r in range(4):
+                j = (r * PAGE + lane_i) - wl512
+                jm = jnp.where(j > 0, j % d, 0)
+                off = b512 + jm          # [0, 1022]: 2 word rows cover it
+                word = jnp.where(off < 512, gat(av, off & (PAGE - 1)),
+                                 gat(bv, off & (PAGE - 1)))
+                byte = (word >> (((off >> 7) & 3) << 3)) & 0xFF
+                keep = (wv >> (r << 3)) & 0xFF
+                wmask = ac & (j >= 0) & (j < step)
+                wnew = wnew | (jnp.where(wmask, byte, keep) << (r << 3))
+            w_ref[:] = wnew
             outpos = jnp.where(ac, outpos + step, outpos)
             pend_len = jnp.where(ac, pend_len - step, pend_len)
-            nlast = gat(w_ref[:], (outpos - 1) & (PAGE - 1))
+            lpos = jnp.maximum(outpos - 1, 0)
+            nlast = (gat(wnew, lpos & (PAGE - 1))
+                     >> (((lpos >> 7) & 3) << 3)) & 0xFF
             st = setv(st, ST_LAST,
                       jnp.where(ac, nlast, getv(st, ST_LAST)))
 
@@ -583,19 +629,18 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         status_ref[1] = consumed
         status_ref[2] = zero + it
 
-        # final write-window flush (pages < dirty were flushed as `tracked`
-        # advanced; w still mirrors the last written page)
-        dirty = jnp.maximum(outpos - 1, 0) >> 7
+        # final write-window flush (word pages < the last written one were
+        # flushed as `tracked` advanced; w still mirrors the last page);
+        # drain any in-flight input prefetch before exiting
+        dirty = jnp.maximum(outpos - 1, 0) >> 9
         x_ref[:] = jnp.where(lane_i == 0, dirty, 0)
         for s in range(n):
-            dic_ref[x_ref[s, 0], s, :] = w_ref[s, :]
-
-        # pack 4 dict pages per output word page (4x smaller D2H transfer)
-        for q in range(out_pages4):
-            out_ref[q] = (dic_ref[4 * q]
-                          | (dic_ref[4 * q + 1] << 8)
-                          | (dic_ref[4 * q + 2] << 16)
-                          | (dic_ref[4 * q + 3] << 24))
+            @pl.when(pend_dma[s] != 0)
+            def _(s=s):
+                pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
+                                      dsem.at[s]).wait()
+                pend_dma[s] = jnp.int32(0)
+            out_ref[x_ref[s, 0], s, :] = w_ref[s, :]
 
     return kernel, tot_pages
 
@@ -616,13 +661,12 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
             jax.ShapeDtypeStruct((3, n, PAGE), _I32),               # status
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+                  pl.BlockSpec(memory_space=pltpu.ANY)],   # src stays in HBM
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((tot_pages, n, PAGE), _I32),   # fam
-            pltpu.VMEM((out_pages, n, PAGE), _I32),   # dic bytes
-            pltpu.VMEM((n, PAGE), _I32),              # W  write window
+            pltpu.VMEM((n, PAGE), _I32),              # W  write window (words)
             pltpu.VMEM((n, PAGE), _I32),              # M  matched-byte row
             pltpu.VMEM((n, PAGE), _I32),              # A  copy src row
             pltpu.VMEM((n, PAGE), _I32),              # B  copy src row+1
@@ -631,6 +675,9 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
             pltpu.VMEM((n, PAGE), _I32),              # X  scalar xfer
             pltpu.SMEM((n,), _I32),                   # prev input page
             pltpu.SMEM((n,), _I32),                   # tracked write page
+            pltpu.SMEM((n,), _I32),                   # pending prefetch DMA
+            pltpu.SemaphoreType.DMA((n,)),            # per-stream input DMA
+            pltpu.SemaphoreType.DMA,                  # init DMA
         ],
         interpret=interpret,
     )(meta, src_words)
