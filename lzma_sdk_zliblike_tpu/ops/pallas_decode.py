@@ -59,10 +59,13 @@ consumption accounting including the trailing-renormalize step of
 ``LzmaDec.c:412``, chunk-boundary ``SZ_ERROR_DATA`` semantics, end-marker
 rejection inside sized LZMA2 chunks.
 
-Scope: each stream decodes one whole *group* that is a single LZMA chunk
-with dict+state+prop reset (the data-parallel unit ``Lzma2Dec.c:14-26``
-defines).  Multi-chunk groups carry state across chunks; those go through
-the XLA kernel or the in-kernel chunk loop (planned follow-up).
+Scope: each stream decodes one whole *group* — a dict-reset chunk followed
+by up to 127 continuation chunks (the data-parallel unit ``Lzma2Dec.c:14-26``
+defines).  An outer in-kernel loop runs one decode round per chunk: chunk
+boundaries re-init the range coder from the next 5 header bytes, and
+state-reset chunks additionally re-init the probability model/state/reps
+while the dictionary position continues.  Groups containing uncompressed
+copy chunks fall back to the host engine (rare).
 """
 
 from __future__ import annotations
@@ -141,11 +144,12 @@ def _family_layout(lc: int, lp: int):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
-                 lc: int, lp: int, pb: int, max_iters: int):
+                 lc: int, lp: int, pb: int, max_iters: int, n_chunks: int):
     layout, tot_pages = _family_layout(lc, lp)
     n = n_streams
-    # staging words pack page indices into 10-bit fields
-    assert in_pages < 1024 and out_pages < 1024, (in_pages, out_pages)
+    # staging words pack page indices into 10-bit fields (input 512B pages
+    # and output word pages — dictionaries up to 512KB)
+    assert in_pages < 1024 and out_pages // 4 < 1024, (in_pages, out_pages)
     pb_mask = (1 << pb) - 1
     lp_mask = (1 << lp) - 1
     dic_cap = out_pages * PAGE
@@ -197,17 +201,48 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         def setv(st, k, v):
             return jnp.where(lane_i == k, v, st)
 
-        w0 = gat(i0_ref[:], zero).astype(_U32)
-        w1 = gat(i0_ref[:], zero + 1).astype(_U32)
-        b0 = w0 & 0xFF
-        code0 = (((w0 >> 8) & 0xFF) << 24) | (((w0 >> 16) & 0xFF) << 16) \
-            | ((w0 >> 24) << 8) | (w1 & 0xFF)
-        init_err = active0 & ((b0 != 0) | (pack_len < 5))
+        def scalar_stage():
+            """Gated per-stream staging driven by the packed word in x_ref.
+
+            lane 0 of x_ref: bits [0:10) staged input page, [10:20) current
+            output word page (flush target check), [20:30) matched-byte
+            word page, [30] load-matched-row flag.
+            """
+            for s in range(n):
+                v = x_ref[s, 0]
+                pg_i = v & 0x3FF
+                cu = (v >> 10) & 0x3FF
+                @pl.when(cu != tracked[s])
+                def _(cu=cu, s=s):
+                    out_ref[tracked[s], s, :] = w_ref[s, :]
+                    tracked[s] = cu
+                # input double-buffer: i1 always holds the NEXT page,
+                # prefetched at the previous advance.  The wait is deferred
+                # to the iteration after the start — i1 is not read until
+                # ~500 input bytes later, so the DMA latency is off the
+                # critical path.
+                @pl.when(pend_dma[s] != 0)
+                def _(s=s):
+                    pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
+                                          dsem.at[s]).wait()
+                    pend_dma[s] = jnp.int32(0)
+                @pl.when(pg_i != prev_ipg[s])
+                def _(pg_i=pg_i, s=s):
+                    i0_ref[s, :] = i1_ref[s, :]
+                    i1p = jnp.minimum(pg_i + 1, in_pages - 1)
+                    cb = pltpu.make_async_copy(src_ref.at[i1p, s],
+                                               i1_ref.at[s], dsem.at[s])
+                    cb.start()
+                    pend_dma[s] = jnp.int32(1)
+                    prev_ipg[s] = pg_i
+                @pl.when((v >> 30) != 0)
+                def _(v=v, s=s):
+                    m_ref[s, :] = out_ref[(v >> 20) & 0x3FF, s, :]
 
         CHECK_EVERY = 64  # busy-check period (power of two)
 
         def body(carry):
-            (it, busy_s, rng, code, inpos, st) = carry
+            (it, busy_s, rng, code, inpos, st, limit) = carry
 
             # Termination check, lagged and periodic.  The while cond must
             # depend only on values resolvable EARLY in the body: a cond fed
@@ -261,36 +296,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                       | (cur_w << 10) | (m_w << 20)
                       | jnp.where(need_m, 1 << 30, 0))
             x_ref[:] = jnp.where(lane_i == 0, packed, 0)
-            for s in range(n):
-                v = x_ref[s, 0]
-                pg_i = v & 0x3FF
-                cu = (v >> 10) & 0x3FF
-                @pl.when(cu != tracked[s])
-                def _(cu=cu, s=s):
-                    out_ref[tracked[s], s, :] = w_ref[s, :]
-                    tracked[s] = cu
-                # input double-buffer: i1 always holds the NEXT page,
-                # prefetched at the previous advance.  The wait is deferred
-                # to the iteration after the start — i1 is not read until
-                # ~500 input bytes later, so the DMA latency is off the
-                # critical path.
-                @pl.when(pend_dma[s] != 0)
-                def _(s=s):
-                    pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
-                                          dsem.at[s]).wait()
-                    pend_dma[s] = jnp.int32(0)
-                @pl.when(pg_i != prev_ipg[s])
-                def _(pg_i=pg_i, s=s):
-                    i0_ref[s, :] = i1_ref[s, :]
-                    i1p = jnp.minimum(pg_i + 1, in_pages - 1)
-                    cb = pltpu.make_async_copy(src_ref.at[i1p, s],
-                                               i1_ref.at[s], dsem.at[s])
-                    cb.start()
-                    pend_dma[s] = jnp.int32(1)
-                    prev_ipg[s] = pg_i
-                @pl.when((v >> 30) != 0)
-                def _(v=v, s=s):
-                    m_ref[s, :] = out_ref[(v >> 20) & 0x3FF, s, :]
+            scalar_stage()
 
             def renorm(rc, do):
                 """Range renormalization: one byte from the staged pages."""
@@ -597,37 +603,98 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             st = setv(st, ST_PDIST, pend_dist)
             st = setv(st, ST_ERR, jnp.where(err, 1, 0))
 
-            return (it + 1, busy_s, rng, code, inpos, st)
+            return (it + 1, busy_s, rng, code, inpos, st, limit)
 
         def cond(carry):
             it, busy_s = carry[0], carry[1]
             return (busy_s != 0) & (it < max_iters)
 
+        # ---- outer loop: one round per chunk of the group ------------------
+        # A group is a sequence of LZMA chunks sharing the dictionary
+        # (``Lzma2Dec.c:14-26`` grammar); chunk boundaries re-init the range
+        # coder, and state-reset chunks additionally re-init the probability
+        # model, state, and reps while the dictionary (outpos) continues.
+        pk_tab = meta_ref[3]         # cumulative packed end per chunk lane
+        ul_tab = meta_ref[4]         # cumulative unpacked end per chunk lane
+        fl_tab = meta_ref[5]         # bit0 = valid, bit1 = state reset
+
+        def round_fn(c, carry):
+            (rng, code, inpos, st, itt) = carry
+            pk_end = gat(pk_tab, zero + c)
+            pk_start = jnp.where(c == 0, zero,
+                                 gat(pk_tab, zero + jnp.maximum(c - 1, 0)))
+            limit_c = gat(ul_tab, zero + c)
+            flags = gat(fl_tab, zero + c)
+            errp = getv(st, ST_ERR) != 0
+            valid = active0 & ~errp & ((flags & 1) != 0)
+            reset = valid & ((flags & 2) != 0)
+
+            # masked probability/state reset (dictionary continues; the
+            # literal context byte ST_LAST is dict content, NOT coder state)
+            for p in range(tot_pages):
+                fam_ref[p] = jnp.where(reset, S.PROB_INIT, fam_ref[p])
+            st = jnp.where(reset & (lane_i >= ST_STATE)
+                           & (lane_i <= ST_REP3), 0, st)
+
+            # stage input pages for the new chunk's RC header
+            outpos0 = getv(st, ST_OUTPOS)
+            ipg0 = jnp.where(valid, pk_start >> 9, inpos >> 9)
+            packed0 = (jnp.clip(ipg0, 0, in_pages - 1)
+                       | ((outpos0 >> 9) << 10))
+            x_ref[:] = jnp.where(lane_i == 0, packed0, 0)
+            scalar_stage()
+
+            # RC init: 5 header bytes, first must be 0 (LzmaDec.c:729-746)
+            def fetch(pos):
+                off = (pos >> 2) - (ipg0 << 7)
+                vw = jnp.where(off < PAGE, gat(i0_ref[:], off),
+                               gat(i1_ref[:], off - PAGE)).astype(_U32)
+                return (vw >> ((pos & 3) << 3).astype(_U32)) & 0xFF
+            hb = [fetch(pk_start + k) for k in range(5)]
+            errh = valid & ((hb[0] != 0) | (pk_end - pk_start < 5))
+            rng = jnp.where(valid, jnp.full_like(rng, _MASK32), rng)
+            code = jnp.where(valid, (hb[1] << 24) | (hb[2] << 16)
+                             | (hb[3] << 8) | hb[4], code)
+            inpos = jnp.where(valid, pk_start + 5, inpos)
+            st = setv(st, ST_ERR,
+                      jnp.where(errh, 1, jnp.where(errp, 1, 0)))
+
+            init = (jnp.int32(0), jnp.int32(1), rng, code, inpos, st,
+                    limit_c)
+            fin = jax.lax.while_loop(cond, body, init)
+            (it, _b, rng, code, inpos, st, _l) = fin
+
+            # per-chunk verdict: exact consumption accounting including the
+            # trailing renormalize (LzmaDec.c:412)
+            errc = getv(st, ST_ERR) != 0
+            outp = getv(st, ST_OUTPOS)
+            consumed = inpos
+            tail = valid & ~errc & (rng < _TOP) & (consumed < pk_end)
+            consumed = jnp.where(tail, consumed + 1, consumed)
+            okc = (outp == limit_c) & (consumed == pk_end)
+            errn = errc | (valid & ~okc)
+            st = setv(st, ST_ERR, jnp.where(errn, 1, 0))
+            inpos = jnp.where(valid & ~errn, pk_end, inpos)
+            return (rng, code, inpos, st, itt + it)
+
         st0 = zero
         st0 = jnp.where(lane_i == ST_PDIST, 1, st0)
-        st0 = jnp.where((lane_i == ST_ERR) & init_err, 1, st0)
-        init = (jnp.int32(0),
-                jnp.int32(1),                             # busy flag (scalar)
-                jnp.full((n, PAGE), _MASK32, _U32),      # rng
-                code0,                                    # code
-                zero + 5,                                 # inpos
-                st0)                                      # packed state
-        final = jax.lax.while_loop(cond, body, init)
-        (it, busy_s, rng, code, inpos, st) = final
+        carry0 = (jnp.full((n, PAGE), _MASK32, _U32),     # rng
+                  zerou,                                   # code
+                  zero,                                    # inpos
+                  st0,                                     # packed state
+                  jnp.int32(0))                            # total iterations
+        (rng, code, inpos, st, itt) = jax.lax.fori_loop(
+            0, n_chunks, round_fn, carry0)
         err = getv(st, ST_ERR) != 0
         outpos = getv(st, ST_OUTPOS)
-        active0 = active_i != 0
 
-        # trailing renormalize (LzmaDec.c:412): exact consumption accounting
-        consumed = inpos
-        tail = active0 & ~err & (rng < _TOP) & (consumed < pack_len)
-        consumed = jnp.where(tail, consumed + 1, consumed)
-        ok = (~err) & (outpos == limit) & (consumed == pack_len)
+        ok = (~err) & (outpos == limit) & (inpos == pack_len)
         ok = ok | ~active0   # (where() on i1 operands lowers via i8)
 
         status_ref[0] = jnp.where(ok, 1, 0)
-        status_ref[1] = consumed
-        status_ref[2] = zero + it
+        status_ref[1] = inpos
+        status_ref[2] = zero + itt
 
         # final write-window flush (word pages < the last written one were
         # flushed as `tracked` advanced; w still mirrors the last page);
@@ -647,12 +714,13 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
 @functools.partial(jax.jit,
                    static_argnames=("n_streams", "in_pages", "out_pages",
-                                    "lc", "lp", "pb", "interpret"))
+                                    "lc", "lp", "pb", "n_chunks",
+                                    "interpret"))
 def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
-                 lc, lp, pb, interpret=False):
+                 lc, lp, pb, n_chunks=1, interpret=False):
     max_iters = out_pages * PAGE + 4096
     kernel, tot_pages = _make_kernel(n_streams, in_pages, out_pages,
-                                     lc, lp, pb, max_iters)
+                                     lc, lp, pb, max_iters, n_chunks)
     n = n_streams
     return pl.pallas_call(
         kernel,
@@ -687,21 +755,31 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
 # host wrapper
 # ---------------------------------------------------------------------------
 
-def submit_chunks(src: np.ndarray, pack_len: np.ndarray,
-                  unpack_len: np.ndarray, active: np.ndarray, *,
+def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
+                  unpack_ends: np.ndarray, flags: np.ndarray,
+                  active: np.ndarray, *,
                   dic_cap: int, lc: int = 3, lp: int = 0, pb: int = 2,
                   interpret: bool | None = None):
-    """Enqueue one decode call; returns device arrays (async dispatch).
+    """Enqueue one decode call of multi-chunk groups (async dispatch).
+
+    src: [S, pack_cap] uint8 — each stream holds its group's LZMA chunk
+    BODIES (5-byte RC header + payload each) back to back, no LZMA2 chunk
+    headers.  pack_ends/unpack_ends: [S, C] int32 cumulative ends per
+    chunk; flags: [S, C] (bit0 valid, bit1 state reset — chunk 0 must NOT
+    set bit1, the kernel starts fresh).  Invalid (padding) chunk entries
+    must repeat the previous cumulative values with flags=0.
 
     JAX dispatch is asynchronous: the returned (dic, status) device arrays
-    materialize later, so callers can queue several batches back-to-back and
-    overlap host-side batch assembly + dispatch latency with device compute
-    (the MtCoder read-ring equivalent for the device path).
+    materialize later, so callers can queue several batches back-to-back
+    and overlap host-side batch assembly + dispatch latency with device
+    compute (the MtCoder read-ring equivalent for the device path).
     """
     import os
     if interpret is None:  # Mosaic needs a real TPU; CPU tests interpret
         interpret = os.environ.get("LZT_PALLAS_INTERPRET", "0") == "1"
     n, pack_cap = src.shape
+    n_chunks = pack_ends.shape[1]
+    assert n_chunks <= PAGE, n_chunks
     in_pages = -(-(pack_cap + 8) // IN_PAGE_BYTES)
     out_pages = -(-dic_cap // PAGE)
     out_pages += (-out_pages) % 4      # packed output: 4 pages per word
@@ -710,14 +788,31 @@ def submit_chunks(src: np.ndarray, pack_len: np.ndarray,
     padded[:, :pack_cap] = src
     words = padded.view("<u4").astype(np.int32).reshape(
         n, in_pages, PAGE).transpose(1, 0, 2)
-    meta = np.zeros((3, n, PAGE), np.int32)
-    meta[0] = np.asarray(pack_len, np.int32)[:, None]
-    meta[1] = np.asarray(unpack_len, np.int32)[:, None]
+    meta = np.zeros((6, n, PAGE), np.int32)
+    meta[0] = np.asarray(pack_ends[:, -1], np.int32)[:, None]
+    meta[1] = np.asarray(unpack_ends[:, -1], np.int32)[:, None]
     meta[2] = np.asarray(active, np.int32)[:, None]
+    meta[3, :, :n_chunks] = pack_ends
+    meta[4, :, :n_chunks] = unpack_ends
+    meta[5, :, :n_chunks] = flags
     return _decode_call(
         jnp.asarray(meta), jnp.asarray(words),
         n_streams=n, in_pages=in_pages, out_pages=out_pages,
-        lc=lc, lp=lp, pb=pb, interpret=interpret)
+        lc=lc, lp=lp, pb=pb, n_chunks=n_chunks, interpret=interpret)
+
+
+def submit_chunks(src: np.ndarray, pack_len: np.ndarray,
+                  unpack_len: np.ndarray, active: np.ndarray, *,
+                  dic_cap: int, lc: int = 3, lp: int = 0, pb: int = 2,
+                  interpret: bool | None = None):
+    """Single-chunk-per-group convenience wrapper over submit_groups."""
+    pack_len = np.asarray(pack_len, np.int32)
+    unpack_len = np.asarray(unpack_len, np.int32)
+    active_i = np.asarray(active, np.int32)
+    return submit_groups(
+        src, pack_len[:, None], unpack_len[:, None],
+        (active_i != 0).astype(np.int32)[:, None], active_i,
+        dic_cap=dic_cap, lc=lc, lp=lp, pb=pb, interpret=interpret)
 
 
 def finalize_chunks(handle, *, dic_cap: int):

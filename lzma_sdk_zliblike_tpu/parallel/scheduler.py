@@ -38,11 +38,11 @@ class BatchShape:
 class BatchedLzma2Decoder:
     """Decodes LZMA2 streams via the lane-parallel device kernel.
 
-    engine="xla": the pure-XLA lockstep kernel (``ops/batched_decode``) —
-    handles multi-chunk groups with state carry.
-    engine="pallas": the Mosaic kernel (``ops/pallas_decode``) — whole chunk
-    loop on the vector core; v1 takes single-chunk dict-reset groups and
-    routes the rest to the XLA path.
+    engine="xla": the pure-XLA lockstep kernel (``ops/batched_decode``).
+    engine="pallas": the Mosaic kernel (``ops/pallas_decode``) — the whole
+    group (all its chunks, with state carry and per-chunk RC/prob resets)
+    runs on the vector core; groups containing uncompressed copy chunks
+    or >128 chunks fall back to the XLA path.
     """
 
     def __init__(self, shape: BatchShape = BatchShape(),
@@ -56,6 +56,13 @@ class BatchedLzma2Decoder:
         unpack = sum(c.unpack_size for c in group)
         if unpack > s.dic_cap:
             return False
+        if self.engine == "pallas":
+            # in-kernel chunk loop: concatenated bodies share the packed
+            # source buffer; ≤128 chunks per group (table lane limit)
+            if len(group) > 128:
+                return False
+            if sum(c.pack_size for c in group) > s.pack_cap:
+                return False
         for c in group:
             if not c.is_lzma:
                 return False
@@ -99,8 +106,7 @@ class BatchedLzma2Decoder:
         for lane_idx in batches:
             lane_groups = [groups[i] for i in lane_idx]
             if self.engine == "pallas" and all(
-                    len(g) == 1 and g[0].mode >= framing.MODE_STATE
-                    for g in lane_groups):
+                    g[0].mode >= framing.MODE_STATE for g in lane_groups):
                 pending.append((lane_idx, self._submit_batch_pallas(
                     stream, lane_groups)))
             else:
@@ -120,18 +126,28 @@ class BatchedLzma2Decoder:
 
         s = self.shape
         n = s.n_lanes
+        n_chunks = max(len(g) for g in lane_groups)
         src = np.zeros((n, s.pack_cap), np.uint8)
-        pack = np.zeros(n, np.int32)
-        unpack = np.zeros(n, np.int32)
+        pe = np.zeros((n, n_chunks), np.int32)
+        ue = np.zeros((n, n_chunks), np.int32)
+        fl = np.zeros((n, n_chunks), np.int32)
         act = np.zeros(n, np.int32)
         for li, g in enumerate(lane_groups):
-            c = g[0]
-            src[li, :c.pack_size] = np.frombuffer(
-                stream, np.uint8, c.pack_size, c.data_off)
-            pack[li] = c.pack_size
-            unpack[li] = c.unpack_size
+            acc_p = acc_u = 0
+            for j, c in enumerate(g):
+                src[li, acc_p:acc_p + c.pack_size] = np.frombuffer(
+                    stream, np.uint8, c.pack_size, c.data_off)
+                acc_p += c.pack_size
+                acc_u += c.unpack_size
+                pe[li, j] = acc_p
+                ue[li, j] = acc_u
+                fl[li, j] = 1 | (2 if (j > 0 and
+                                       c.mode >= framing.MODE_STATE) else 0)
+            # padding entries repeat the final cumulative values, flags 0
+            pe[li, len(g):] = acc_p
+            ue[li, len(g):] = acc_u
             act[li] = 1
-        return P.submit_chunks(src, pack, unpack, act, dic_cap=s.dic_cap,
+        return P.submit_groups(src, pe, ue, fl, act, dic_cap=s.dic_cap,
                                lc=s.lc, lp=s.lp, pb=s.pb)
 
     def _finalize_batch_pallas(self, handle,
@@ -143,7 +159,7 @@ class BatchedLzma2Decoder:
                                                dic_cap=self.shape.dic_cap)
         if not ok[:len(lane_groups)].all():
             raise DataError("pallas LZMA2 decode failed on at least one lane")
-        return [out[li, :g[0].unpack_size].tobytes()
+        return [out[li, :sum(c.unpack_size for c in g)].tobytes()
                 for li, g in enumerate(lane_groups)]
 
     def _decode_batch_xla(self, stream: bytes,

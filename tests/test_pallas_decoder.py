@@ -69,6 +69,56 @@ from lzma_sdk_zliblike_tpu.parallel.scheduler import (BatchedLzma2Decoder,
 dec = BatchedLzma2Decoder(BatchShape(n_lanes=8, pack_cap=CAP + 64,
                                      dic_cap=CAP), engine="pallas")
 assert dec.decode(stream, prop) == data
+
+# multi-chunk groups through the in-kernel chunk loop (Lzma2Dec.c:14-26):
+# 4 state-carry sub-chunks sharing one dictionary, one mid-group state
+# reset; decoded both via submit_groups directly and via the scheduler
+from lzma_sdk_zliblike_tpu.models.lzma.spec import LzmaProps
+from lzma_sdk_zliblike_tpu.models.lzma.encoder_ref import LzmaEncoder
+P2 = LzmaProps(lc=3, lp=0, pb=2, dict_size=4096)
+gdata = big_mixed(1408) + b"B" * 128
+segs = [(0, 384), (384, 768), (768, 1152), (1152, 1536)]
+enc2 = LzmaEncoder(P2)
+mc = bytearray()
+pe1 = []; ue1 = []; fl1 = []; bodies = bytearray()
+for i, (a, b) in enumerate(segs):
+    if i == 0:
+        mode = framing.MODE_STATE_PROPS_DIC
+    elif i == 2:
+        enc2.reset_state()
+        mode = framing.MODE_STATE
+    else:
+        mode = framing.MODE_NOTHING
+    body = enc2.encode_segment(gdata, a, b, dic_start=0)
+    assert len(body) < b - a, "segment must compress for an LZMA chunk"
+    mc += framing._chunk_header(True, mode, b - a, len(body), P2, i == 0)
+    mc += body
+    bodies += body
+    pe1.append(len(bodies)); ue1.append(b)
+    fl1.append(1 | (2 if (i > 0 and mode >= framing.MODE_STATE) else 0))
+mc.append(framing.CTRL_EOS)
+mstream = bytes(mc)
+mch, _ = framing.scan(mstream)
+mgroups = framing.split_groups(mch)
+assert [len(g) for g in mgroups] == [4]
+assert framing.decode_chunks(mstream, mch) == gdata  # host path agrees
+src3 = np.zeros((8, 2048), np.uint8)
+src3[0, :len(bodies)] = np.frombuffer(bytes(bodies), np.uint8)
+src3[1, :len(bodies)] = np.frombuffer(bytes(bodies), np.uint8)
+src3[1, pe1[1] + 3] ^= 0xFF      # corrupt lane 1 inside chunk 2
+pe3 = np.zeros((8, 4), np.int32); pe3[:2] = pe1
+ue3 = np.zeros((8, 4), np.int32); ue3[:2] = ue1
+fl3 = np.zeros((8, 4), np.int32); fl3[:2] = fl1
+act3 = np.zeros(8, np.int32); act3[:2] = 1
+out3, ok3, cons3 = P.finalize_chunks(
+    P.submit_groups(src3, pe3, ue3, fl3, act3, dic_cap=1536,
+                    interpret=True), dic_cap=1536)
+assert ok3[0] and not ok3[1], ok3
+assert cons3[0] == len(bodies)
+assert out3[0, :1536].tobytes() == gdata
+dec2 = BatchedLzma2Decoder(BatchShape(n_lanes=8, pack_cap=2048,
+                                      dic_cap=2048), engine="pallas")
+assert dec2.decode(mstream, prop) == gdata
 print("PALLAS_INTERPRET_OK", flush=True)
 """
 
