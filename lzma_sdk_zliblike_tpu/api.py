@@ -22,7 +22,7 @@ def compress(data: bytes, *, level: int = 5, dict_size: int | None = None,
     if dict_size is None:
         dict_size = default_dict_size(level)
     if effort is None:
-        effort = 10 if level >= 9 else 9
+        effort = default_effort(level)
     props = LzmaProps(lc=lc, lp=lp, pb=pb, dict_size=dict_size)
     from .engine import lzma_raw_encode
     return (lzma_raw_encode(data, props, effort=effort, engine=engine),
@@ -41,20 +41,23 @@ def lzma2_compress(data: bytes, *, level: int = 5,
                    dict_size: int | None = None,
                    chunk_size: int | None = None,
                    threads: int | None = None,
-                   effort: int = 9,
+                   effort: int | None = None,
                    progress=None,
                    engine: str = "auto") -> tuple[bytes, int]:
     """Compress to a raw LZMA2 stream. Returns ``(stream, dict_prop_byte)``.
 
     ``threads``: block-parallel encoding over dict-reset groups (the
     MtCoder equivalent; output is identical at any thread count).
-    ``effort``: ≤9 greedy/lazy; 10 = price-based optimal parse.
+    ``effort``: ≤9 greedy/lazy; 10+ = BT4 + price-based optimal parse
+    (defaults from level like the reference's algo knob, LzmaEnc.c:53-74).
     ``progress(done_bytes, out_bytes)``: return False to abort
     (ICompressProgress semantics, Types.h:220-225).
     """
     from .models.lzma2 import framing
     if dict_size is None:
         dict_size = default_dict_size(level)
+    if effort is None:
+        effort = default_effort(level)
     if threads is not None and threads != 1 and engine in ("auto", "native"):
         from .parallel.host_pool import encode_lzma2_mt
         return encode_lzma2_mt(data, dict_size=dict_size,
@@ -84,3 +87,12 @@ def default_dict_size(level: int) -> int:
     table = {0: 1 << 14, 1: 1 << 16, 2: 1 << 18, 3: 1 << 20,
              4: 1 << 22, 5: 1 << 24, 6: 1 << 25}
     return table.get(level, 1 << 26)
+
+
+def default_effort(level: int) -> int:
+    """Level→algo mapping mirroring ``LzmaEncProps_Normalize``
+    (``LzmaEnc.c:53-74``): level < 5 → fast/lazy parse, level ≥ 5 →
+    BT4 + optimal parse, level ≥ 9 → deeper BT walk."""
+    if level >= 9:
+        return 11
+    return 10 if level >= 5 else 9

@@ -553,6 +553,183 @@ class MatchFinder {
   std::vector<int64_t> head2_, head3_;  // opt-parse only (short_hashes)
 };
 
+// Binary-tree match finder (reference parity target: LzFind.c:353-406 BT4;
+// this is an independent implementation).  Each position is a node in a
+// binary search tree over suffixes, bucketed by a 4-byte hash; newer
+// positions sit nearer the root, so a search walk yields the candidate
+// frontier nearest-first with strictly increasing match lengths.  2-/3-byte
+// hash heads seed the short end of the frontier.
+class BtMatchFinder {
+ public:
+  static constexpr u32 kEmpty = 0xFFFFFFFFu;
+
+  BtMatchFinder(const u8* data, size_t n, u32 dict_size, int cutoff,
+                int nice_len)
+      : data_(data), n_(n), dict_size_(dict_size), cutoff_(cutoff),
+        nice_len_(nice_len < 273 ? nice_len : 273) {
+    u32 hb = 16;
+    const u64 span = (u64)(n < dict_size ? n : dict_size);
+    while ((1ull << hb) < span && hb < 23) hb++;
+    hash_bits_ = hb;
+    head_.assign((size_t)1 << hb, kEmpty);
+    head2_.assign(1u << 16, kEmpty);
+    head3_.assign(1u << 16, kEmpty);
+    son_.assign(2 * n + 2, kEmpty);
+  }
+
+  inline u32 h4(size_t i) const {
+    u32 le;
+    std::memcpy(&le, data_ + i, 4);
+    return (u32)(((u64)le * 2654435761ull) >> (48 - hash_bits_)) &
+           ((1u << hash_bits_) - 1);
+  }
+  inline u32 h2(size_t i) const {
+    return (u32)data_[i] | ((u32)data_[i + 1] << 8);
+  }
+  inline u32 h3(size_t i) const {
+    const u32 le = (u32)data_[i] | ((u32)data_[i + 1] << 8) |
+                   ((u32)data_[i + 2] << 16);
+    return (u32)(((u64)le * 2654435761ull) >> 16) & 0xFFFFu;
+  }
+
+  // Insert position p and collect the (len, dist) candidate frontier:
+  // strictly increasing lengths, minimal distance per length.  Returns the
+  // candidate count; lens/dists hold up to 64 entries.
+  int get_matches(size_t p, unsigned* lens, u32* dists) {
+    int cnt = 0;
+    if (p + 2 > n_) return 0;
+    const size_t lim = (n_ - p) < 273 ? (n_ - p) : 273;
+    const u64 min_pos1 = (u64)p >= dict_size_ ? p - dict_size_ + 1 : 0;
+    unsigned bl = 1;
+
+    const u32 p2 = head2_[h2(p)];
+    head2_[h2(p)] = (u32)p;
+    if (p2 != kEmpty && p2 >= min_pos1 && data_[p2] == data_[p]) {
+      const size_t ln = 1 + match_len(data_ + p2 + 1, data_ + p + 1, lim - 1);
+      if (ln >= 2) {
+        bl = (unsigned)ln;
+        lens[cnt] = bl;
+        dists[cnt] = (u32)(p - p2);
+        cnt++;
+      }
+    }
+    if (p + 3 <= n_) {
+      const u32 hh3 = h3(p);
+      const u32 p3 = head3_[hh3];
+      head3_[hh3] = (u32)p;
+      if (p3 != kEmpty && p3 != p2 && p3 >= min_pos1 &&
+          data_[p3] == data_[p] && data_[p3 + 1] == data_[p + 1] &&
+          data_[p3 + 2] == data_[p + 2]) {
+        const size_t ln = 3 + match_len(data_ + p3 + 3, data_ + p + 3,
+                                        lim - 3);
+        if (ln > bl) {
+          bl = (unsigned)ln;
+          lens[cnt] = bl;
+          dists[cnt] = (u32)(p - p3);
+          cnt++;
+        }
+      }
+    }
+    if (p + 4 > n_) return cnt;
+
+    const u32 hh = h4(p);
+    u32 cur = head_[hh];
+    head_[hh] = (u32)p;
+    u32* ptr0 = &son_[2 * p + 1];  // subtree of suffixes > ours
+    u32* ptr1 = &son_[2 * p];      // subtree of suffixes < ours
+    size_t len0 = 0, len1 = 0;
+    int depth = cutoff_;
+    for (;;) {
+      if (cur == kEmpty || cur < min_pos1 || depth-- == 0) {
+        *ptr0 = *ptr1 = kEmpty;
+        break;
+      }
+      u32* pair = &son_[2 * (size_t)cur];
+      size_t len = len0 < len1 ? len0 : len1;
+      len += match_len(data_ + cur + len, data_ + p + len, lim - len);
+      if (len > bl && cnt < 64) {
+        bl = (unsigned)len;
+        lens[cnt] = bl;
+        dists[cnt] = (u32)(p - cur);
+        cnt++;
+        if (len >= (size_t)nice_len_ || len == lim) {
+          // adopt the node's subtrees and stop — everything below repeats
+          // the frontier we already have
+          *ptr1 = pair[0];
+          *ptr0 = pair[1];
+          break;
+        }
+      } else if (len == lim) {
+        *ptr1 = pair[0];
+        *ptr0 = pair[1];
+        break;
+      }
+      if (data_[cur + len] < data_[p + len]) {
+        *ptr1 = cur;
+        ptr1 = &pair[1];
+        cur = *ptr1;
+        len1 = len;
+      } else {
+        *ptr0 = cur;
+        ptr0 = &pair[0];
+        cur = *ptr0;
+        len0 = len;
+      }
+    }
+    return cnt;
+  }
+
+  // Insert without collecting matches (tree health on skipped positions).
+  void skip(size_t p) {
+    if (p + 2 > n_) return;
+    head2_[h2(p)] = (u32)p;
+    if (p + 3 <= n_) head3_[h3(p)] = (u32)p;
+    if (p + 4 > n_) return;
+    const size_t lim = (n_ - p) < 273 ? (n_ - p) : 273;
+    const u64 min_pos1 = (u64)p >= dict_size_ ? p - dict_size_ + 1 : 0;
+    const u32 hh = h4(p);
+    u32 cur = head_[hh];
+    head_[hh] = (u32)p;
+    u32* ptr0 = &son_[2 * p + 1];
+    u32* ptr1 = &son_[2 * p];
+    size_t len0 = 0, len1 = 0;
+    int depth = cutoff_;
+    for (;;) {
+      if (cur == kEmpty || cur < min_pos1 || depth-- == 0) {
+        *ptr0 = *ptr1 = kEmpty;
+        break;
+      }
+      u32* pair = &son_[2 * (size_t)cur];
+      size_t len = len0 < len1 ? len0 : len1;
+      len += match_len(data_ + cur + len, data_ + p + len, lim - len);
+      if (len == lim) {
+        *ptr1 = pair[0];
+        *ptr0 = pair[1];
+        break;
+      }
+      if (data_[cur + len] < data_[p + len]) {
+        *ptr1 = cur;
+        ptr1 = &pair[1];
+        cur = *ptr1;
+        len1 = len;
+      } else {
+        *ptr0 = cur;
+        ptr0 = &pair[0];
+        cur = *ptr0;
+        len0 = len;
+      }
+    }
+  }
+
+ private:
+  const u8* data_;
+  size_t n_;
+  u32 dict_size_;
+  int cutoff_, nice_len_;
+  u32 hash_bits_;
+  std::vector<u32> head_, head2_, head3_, son_;
+};
+
 class Encoder {
  public:
   Encoder(int lc, int lp, int pb, u32 dict_size, int max_chain = 48,
@@ -697,17 +874,33 @@ class Encoder {
   // (LzmaEnc.c GetOptimum equivalent).  Each node tracks the arrival
   // (state, rep0..rep3) from its best predecessor; transitions cover
   // literal, short-rep, rep0..rep3 (rep-coded pricing), and normal
-  // matches (order-2/3-seeded hash-chain candidates).  Parity target:
-  // compressed size ≤ the reference's BT4+optimal.
+  // matches.  Candidates come from a persistent binary-tree finder (BT4
+  // quality, LzFind.c:353-406 as parity target) shared across the
+  // sub-chunks of a group; distance prices are cached per block the way
+  // LzmaEnc.c:600-621 caches them.  Parity target: compressed size ≤ the
+  // reference's BT4+optimal at comparable single-thread speed.
   std::vector<u8> encode_segment_opt(const u8* data, size_t total_n,
                                      size_t start, size_t end,
                                      size_t dic_start, bool end_mark) {
     RangeEncoder rc;
     const u32 pb_mask = (1u << pb_) - 1;
-    MatchFinder mf(data, total_n, dict_size_, max_chain_, nice_len_, true);
-    for (size_t j = dic_start; j < start; j++) mf.insert(j);
+    if (!bt_ || bt_data_ != data || bt_next_ > start) {
+      bt_.reset(new BtMatchFinder(data, total_n, dict_size_, max_chain_,
+                                  nice_len_));
+      bt_data_ = data;
+      bt_next_ = dic_start;
+    }
+    while (bt_next_ < start) bt_->skip(bt_next_++);
 
     const size_t BLOCK = 0x400;
+    const size_t WMAX = BLOCK + kMatchMaxLen;
+    std::vector<u32> cost, from, op_len, op_dist;
+    std::vector<u8> arr_state;
+    std::vector<std::array<u32, 4>> arr_rep(WMAX + 1);
+    const u32 nps = pb_mask + 1;
+    std::vector<u32> lenp(nps * 274), replenp(nps * 274);
+    u32 slotp[4][64], alignp[16], distp[4][128];
+
     size_t i = start;
     while (i < end) {
       const size_t bend = (i + BLOCK < end) ? i + BLOCK : end;
@@ -716,30 +909,49 @@ class Encoder {
       // block may finish up to kMatchMaxLen past it, so block boundaries
       // never truncate a match (the endpoint is chosen below)
       const size_t WX = W + kMatchMaxLen;
-      std::vector<u32> cost(WX + 1, 0xFFFFFFFFu);
-      std::vector<u32> from(WX + 1, 0);
-      std::vector<u32> op_len(WX + 1, 0);
+      cost.assign(WX + 1, 0xFFFFFFFFu);
+      from.assign(WX + 1, 0);
+      op_len.assign(WX + 1, 0);
       // op_dist: 0 = literal; 1 = short rep; else dist+2 (the emitter
       // re-derives the rep form when the distance matches a live rep)
-      std::vector<u32> op_dist(WX + 1, 0);
-      std::vector<u8> arr_state(WX + 1, 0);
-      std::vector<std::array<u32, 4>> arr_rep(WX + 1);
+      op_dist.assign(WX + 1, 0);
+      arr_state.assign(WX + 1, 0);
       cost[0] = 0;
       arr_state[0] = (u8)state_;
       arr_rep[0] = {rep_[0], rep_[1], rep_[2], rep_[3]};
       // length prices are pos_state x len only — table them per block
-      const u32 nps = pb_mask + 1;
-      std::vector<u32> lenp(nps * 274), replenp(nps * 274);
       for (u32 ps = 0; ps < nps; ps++)
         for (unsigned l = 2; l <= kMatchMaxLen; l++) {
           lenp[ps * 274 + l] = price_len(LEN_CODER, ps, l);
           replenp[ps * 274 + l] = price_len(REP_LEN_CODER, ps, l);
         }
-      unsigned lens[32];
-      u32 dists[32];
+      // distance prices: slot tree (direct bits folded in for slots ≥ 14),
+      // align tree, and the full price for every distance < 128
+      for (unsigned lt = 0; lt < 4; lt++)
+        for (unsigned s = 0; s < 64; s++) {
+          u32 pr = price_tree(POS_SLOT + (lt << 6), 6, s);
+          if (s >= 14) pr += (((s >> 1) - 1) - 4) << 4;
+          slotp[lt][s] = pr;
+        }
+      for (unsigned a = 0; a < 16; a++)
+        alignp[a] = price_tree_rev(ALIGN_, 4, a);
+      {
+        u32 spec[128] = {0, 0, 0, 0};
+        for (u32 d = 4; d < 128; d++) {
+          const unsigned s = pos_slot(d);
+          const unsigned nd = (s >> 1) - 1;
+          const u32 base = (2 | (s & 1)) << nd;
+          spec[d] = price_tree_rev(SPEC_POS + base - s - 1, nd, d - base);
+        }
+        for (unsigned lt = 0; lt < 4; lt++)
+          for (u32 d = 0; d < 128; d++)
+            distp[lt][d] = slotp[lt][pos_slot(d)] + spec[d];
+      }
+      unsigned lens[64];
+      u32 dists[64];
       size_t skip_search_until = 0;
       for (size_t j = 0; j < W; j++) {
-        if (cost[j] == 0xFFFFFFFFu) { mf.insert(i + j); continue; }
+        if (cost[j] == 0xFFFFFFFFu) { bt_->skip(bt_next_++); continue; }
         const size_t pos_abs = i + j;
         const u32 pos = (u32)(pos_abs - dic_start);
         const u32 pos_state = pos & pb_mask;
@@ -823,8 +1035,10 @@ class Encoder {
         // normal matches (search skipped inside a dominating long match)
         int nc = 0;
         if (pos_abs >= skip_search_until)
-          nc = mf.candidates(pos_abs, &lens, &dists);
-        mf.insert(pos_abs);
+          nc = bt_->get_matches(pos_abs, lens, dists);
+        else
+          bt_->skip(pos_abs);
+        bt_next_++;
         if (nc > 0 && lens[nc - 1] >= 128)
           skip_search_until = pos_abs + lens[nc - 1] - 1;
         const u32 nm_head = match_head + price_bit(IS_REP + st, 0);
@@ -841,9 +1055,15 @@ class Encoder {
             continue;
           }
           // distance price depends on len only through the 4-way slot
-          // context — compute the 4 variants once per candidate
+          // context — read the 4 variants from the block's cached tables
           u32 pd[4];
-          for (unsigned lt = 0; lt < 4; lt++) pd[lt] = price_dist(lt + 2, dist);
+          if (dist < 128) {
+            for (unsigned lt = 0; lt < 4; lt++) pd[lt] = distp[lt][dist];
+          } else {
+            const unsigned s = pos_slot(dist);
+            const u32 al = alignp[dist & 15];
+            for (unsigned lt = 0; lt < 4; lt++) pd[lt] = slotp[lt][s] + al;
+          }
           const u32* lp = &lenp[pos_state * 274];
           for (unsigned l = prev_len + 1; l <= ml; l++) {
             if (l < 2) continue;
@@ -889,7 +1109,7 @@ class Encoder {
           emit_match(rc, data, pos_abs, dic_start, od - 2, l);
         }
       }
-      for (size_t p = bend; p < i + je; p++) mf.insert(p);
+      while (bt_next_ < i + je) bt_->skip(bt_next_++);
       i += je;
     }
 
@@ -1260,6 +1480,12 @@ class Encoder {
   u32 rep_[4] = {0, 0, 0, 0};
   const int32_t* ext_ = nullptr;   // device-computed match candidates
   int ext_k_ = 0;
+  // persistent binary-tree finder for the optimal parse: one tree per
+  // input buffer, fed forward across sub-chunk calls so a group is only
+  // inserted once (recreated on buffer switch or rewind)
+  std::unique_ptr<BtMatchFinder> bt_;
+  const u8* bt_data_ = nullptr;
+  size_t bt_next_ = 0;
 };
 
 // ==========================================================================
@@ -1345,8 +1571,10 @@ int lzt_lzma_encode(const uint8_t* src, size_t n, uint8_t* dst,
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
     return lzt::ERR_PARAM;
   const bool opt = effort >= 10;
-  const int chain = opt ? 256 : (effort >= 7 ? 48 : 16);
-  const int nice = opt ? 273 : 64;
+  // opt mode: max_chain_ is the BT walk cutoff (reference mc=32 at fb=32),
+  // nice_len_ the early-accept length; deeper/never-stop at effort ≥ 11
+  const int chain = opt ? (effort >= 11 ? 128 : 48) : (effort >= 7 ? 48 : 16);
+  const int nice = opt ? (effort >= 11 ? 273 : 64) : 64;
   lzt::Encoder enc(lc, lp, pb, dict_size, chain, nice);
   auto out = opt ? enc.encode_segment_opt(src, n, 0, n, 0, end_mark != 0)
                  : enc.encode_segment(src, n, 0, n, 0, end_mark != 0);
@@ -1404,7 +1632,8 @@ static int lzma2_encode_impl(const uint8_t* src, size_t n, uint8_t* dst,
   // the two backends stay byte-for-byte cross-checkable; effort ≥ 10 uses
   // the price-based optimal parser with a deeper finder
   const bool opt = effort >= 10;
-  Encoder enc(lc, lp, pb, real_dict, opt ? 256 : 48, opt ? 273 : 64);
+  Encoder enc(lc, lp, pb, real_dict, opt ? (effort >= 11 ? 128 : 48) : 48,
+              opt ? (effort >= 11 ? 273 : 64) : 64);
   const u8 props_byte = (u8)((pb * 5 + lp) * 9 + lc);
 
   bool props_sent = false;
