@@ -29,17 +29,24 @@ memory layout is designed around what the TPU vector core can actually do:
   identically, and over-reads past pack_len land in the zero padding (the
   host wrapper zero-pads), caught by the final exact-consumption check —
   same verdict as the old per-bit overrun flag, with three fewer carries.
-* **Dictionary = the packed int32 output buffer** (v6): byte ``p`` of
-  stream ``s`` lives at ``out[p>>9, s, p&127]`` bits ``8*((p>>7)&3)`` — a
-  512-byte *word page* per row.  Sequential writes (literals, match
-  copies) go through a per-stream word-page write window ``w`` that is
-  flushed only when the stream crosses a 512-byte boundary; any read that
-  lands on the current word page is served from the window register.
-  Random reads (matched literals, match-copy sources) stage 1-2 word rows
-  per stream with scalar-indexed dynamic slices — the scalar core
-  resolves the per-stream addresses (ONE packed staging word per stream:
-  scalar VMEM reads dominate the staging loop, so all indices travel in
-  one lane) while the vector core does the bit arithmetic.
+* **Dictionary = the packed int32 output buffer, resident in HBM** (v8):
+  byte ``p`` of stream ``s`` lives at ``out[p>>9, s, p&127]`` bits
+  ``8*((p>>7)&3)`` — a 512-byte *word page* per row.  Sequential writes
+  (literals, match copies) go through a per-stream word-page write window
+  ``w`` that is flushed (VMEM ring + async HBM DMA) only when the stream
+  crosses a 512-byte boundary; any read that lands on the current word
+  page is served from the window register.  Random reads (matched
+  literals, match-copy sources) stage 1-2 word rows per stream: the last
+  ``RING`` flushed pages (32 KB of recent history — the vast majority of
+  match distances) are served from a VMEM ring cache with scalar-indexed
+  row copies, older pages by per-stream HBM DMAs issued for all streams
+  before any wait so the latencies overlap.  The scalar core resolves the
+  per-stream addresses (ONE packed staging word per stream: scalar VMEM
+  reads dominate the staging loop, so all indices travel in one lane)
+  while the vector core does the bit arithmetic.  Keeping the dictionary
+  in HBM lifts the per-group output cap from 512 KB to 16 MB — the
+  reference encoder's default dictionary (``LzmaEnc.c:58``) — so archives
+  the reference or stock xz produce decode on-device.
 * **Match copies move up to 512 bytes per iteration**: each of the 4 byte
   slots of the word window gets a masked lane-gather — destination byte
   ``outpos + j`` takes source byte ``base + (j mod dist)`` — the modulo
@@ -87,6 +94,9 @@ _MASK32 = np.uint32(0xFFFFFFFF)
 
 PAGE = 128               # lanes per table/dict page
 IN_PAGE_BYTES = 512      # staged input page: 128 LE words
+RING = 64                # VMEM ring cache: last 64 flushed word pages
+                         # (32 KB of recent dictionary) per stream; older
+                         # pages are DMA'd back from the HBM output buffer
 
 # packed per-stream state: lane index in the st register
 ST_OUTPOS = 0
@@ -147,9 +157,11 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                  lc: int, lp: int, pb: int, max_iters: int, n_chunks: int):
     layout, tot_pages = _family_layout(lc, lp)
     n = n_streams
-    # staging words pack page indices into 10-bit fields (input 512B pages
-    # and output word pages — dictionaries up to 512KB)
-    assert in_pages < 1024 and out_pages // 4 < 1024, (in_pages, out_pages)
+    # staging words pack page indices into bit fields: input 512B pages get
+    # 14 bits (8 MB packed per group), output word pages 15 bits (16 MB
+    # dictionary — the reference's default encode dict, LzmaEnc.c:58)
+    assert in_pages <= (1 << 14) and out_pages // 4 <= (1 << 15), \
+        (in_pages, out_pages)
     pb_mask = (1 << pb) - 1
     lp_mask = (1 << lp) - 1
     dic_cap = out_pages * PAGE
@@ -163,8 +175,9 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                   # bits 8*((p>>7)&3)
 
     def kernel(meta_ref, src_ref, out_ref, status_ref,
-               fam_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
-               x_ref, prev_ipg, tracked, pend_dma, dsem, isem):
+               fam_ref, ring_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
+               x_ref, prev_ipg, tracked, pend_dma, needf, needm, needa, needb,
+               dsem, isem, fsem, msem, asem, bsem):
         lane_i = jax.lax.broadcasted_iota(_I32, (n, PAGE), 1)
         zero = jnp.zeros((n, PAGE), _I32)
         zerou = jnp.zeros((n, PAGE), _U32)
@@ -189,6 +202,10 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             prev_ipg[s] = jnp.int32(0)
             tracked[s] = jnp.int32(0)
             pend_dma[s] = jnp.int32(0)
+            needf[s] = jnp.int32(0)
+            needm[s] = jnp.int32(0)
+            needa[s] = jnp.int32(0)
+            needb[s] = jnp.int32(0)
 
         def gat(tbl, idx):
             return jnp.take_along_axis(tbl, jnp.clip(idx, 0, PAGE - 1),
@@ -204,17 +221,27 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         def scalar_stage():
             """Gated per-stream staging driven by the packed word in x_ref.
 
-            lane 0 of x_ref: bits [0:10) staged input page, [10:20) current
-            output word page (flush target check), [20:30) matched-byte
-            word page, [30] load-matched-row flag.
+            lane 0 of x_ref: bits [0:14) staged input page, [14:29) current
+            output word page (flush target check), [29] load-matched-row
+            flag; lane 1 holds the matched-byte word page when bit 29 is
+            set.  The dictionary (= the packed output) lives in HBM: page
+            flushes are VMEM→HBM DMAs, and dictionary reads come from the
+            VMEM ring (last RING flushed pages) or an HBM DMA for older
+            pages.  DMA starts are issued for all streams first and waited
+            in a second pass so the latencies overlap across streams.
             """
             for s in range(n):
                 v = x_ref[s, 0]
-                pg_i = v & 0x3FF
-                cu = (v >> 10) & 0x3FF
+                pg_i = v & 0x3FFF
+                cu = (v >> 14) & 0x7FFF
                 @pl.when(cu != tracked[s])
                 def _(cu=cu, s=s):
-                    out_ref[tracked[s], s, :] = w_ref[s, :]
+                    # flush the write window: ring slot (sync) + HBM (async)
+                    ring_ref[tracked[s] & (RING - 1), s, :] = w_ref[s, :]
+                    pltpu.make_async_copy(w_ref.at[s],
+                                          out_ref.at[tracked[s], s],
+                                          fsem.at[s]).start()
+                    needf[s] = jnp.int32(1)
                     tracked[s] = cu
                 # input double-buffer: i1 always holds the NEXT page,
                 # prefetched at the previous advance.  The wait is deferred
@@ -235,9 +262,28 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                     cb.start()
                     pend_dma[s] = jnp.int32(1)
                     prev_ipg[s] = pg_i
-                @pl.when((v >> 30) != 0)
-                def _(v=v, s=s):
-                    m_ref[s, :] = out_ref[(v >> 20) & 0x3FF, s, :]
+                @pl.when((v >> 29) != 0)
+                def _(v=v, cu=cu, s=s):
+                    mw = x_ref[s, 1]
+                    @pl.when(mw + RING >= cu)
+                    def _(mw=mw, s=s):
+                        m_ref[s, :] = ring_ref[mw & (RING - 1), s, :]
+                    @pl.when(mw + RING < cu)
+                    def _(mw=mw, s=s):
+                        pltpu.make_async_copy(out_ref.at[mw, s],
+                                              m_ref.at[s], msem.at[s]).start()
+                        needm[s] = jnp.int32(1)
+            for s in range(n):
+                @pl.when(needf[s] != 0)
+                def _(s=s):
+                    pltpu.make_async_copy(w_ref.at[s], out_ref.at[0, s],
+                                          fsem.at[s]).wait()
+                    needf[s] = jnp.int32(0)
+                @pl.when(needm[s] != 0)
+                def _(s=s):
+                    pltpu.make_async_copy(out_ref.at[0, s], m_ref.at[s],
+                                          msem.at[s]).wait()
+                    needm[s] = jnp.int32(0)
 
         CHECK_EVERY = 64  # busy-check period (power of two)
 
@@ -288,14 +334,17 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             mpos = jnp.clip(outpos - rep0c - 1, 0, dic_cap - 1)
             m_w = mpos >> 9
             need_m = do & (statec >= 7) & (m_w != cur_w)
-            # ONE packed staging word per stream: scalar VMEM reads are the
-            # expensive part of the staging loop (measured: splitting these
-            # into separate x_ref lanes costs ~12 us/iter at S=32), so the
-            # scalar core reads one lane and unpacks with register ALU ops
+            # ONE packed staging word per stream (lane 0): scalar VMEM reads
+            # are the expensive part of the staging loop (measured: splitting
+            # these into separate x_ref lanes costs ~12 us/iter at S=32), so
+            # the scalar core reads one lane and unpacks with register ALU
+            # ops.  The wide matched-byte page rides in lane 1, read only
+            # when bit 29 flags it.
             packed = (jnp.clip(ipg, 0, in_pages - 1)
-                      | (cur_w << 10) | (m_w << 20)
-                      | jnp.where(need_m, 1 << 30, 0))
-            x_ref[:] = jnp.where(lane_i == 0, packed, 0)
+                      | (cur_w << 14)
+                      | jnp.where(need_m, 1 << 29, 0))
+            x_ref[:] = jnp.where(lane_i == 0, packed,
+                                 jnp.where(lane_i == 1, m_w, 0))
             scalar_stage()
 
             def renorm(rc, do):
@@ -561,18 +610,49 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             base = jnp.maximum(outpos - d, 0)
             spg = jnp.clip(base >> 9, 0, out_pages4 - 1)
             spgn = jnp.minimum(spg + 1, out_pages4 - 1)
-            packed2 = (spg | (spgn << 10)
-                       | jnp.where(ac & (spg != cur_w), 1 << 20, 0)
-                       | jnp.where(ac & (spgn != cur_w), 1 << 21, 0))
+            packed2 = (spg
+                       | jnp.where(ac & (spg != cur_w), 1 << 28, 0)
+                       | jnp.where(ac & (spgn != cur_w) & (spgn != spg),
+                                   1 << 29, 0))
             x_ref[:] = jnp.where(lane_i == 0, packed2, 0)
+            # copy-source rows: ring for the last RING pages, HBM DMA for
+            # older ones (start all, then wait all, so latencies overlap)
             for s in range(n):
                 v2 = x_ref[s, 0]
-                @pl.when(((v2 >> 20) & 1) != 0)
-                def _(v2=v2, s=s):
-                    a_ref[s, :] = out_ref[v2 & 0x3FF, s, :]
-                @pl.when(((v2 >> 21) & 1) != 0)
-                def _(v2=v2, s=s):
-                    b_ref[s, :] = out_ref[(v2 >> 10) & 0x3FF, s, :]
+                pg_a = v2 & 0x7FFF
+                cw_s = tracked[s]
+                @pl.when(((v2 >> 28) & 1) != 0)
+                def _(pg_a=pg_a, cw_s=cw_s, s=s):
+                    @pl.when(pg_a + RING >= cw_s)
+                    def _(pg_a=pg_a, s=s):
+                        a_ref[s, :] = ring_ref[pg_a & (RING - 1), s, :]
+                    @pl.when(pg_a + RING < cw_s)
+                    def _(pg_a=pg_a, s=s):
+                        pltpu.make_async_copy(out_ref.at[pg_a, s],
+                                              a_ref.at[s], asem.at[s]).start()
+                        needa[s] = jnp.int32(1)
+                @pl.when(((v2 >> 29) & 1) != 0)
+                def _(pg_a=pg_a, cw_s=cw_s, s=s):
+                    pg_b = jnp.minimum(pg_a + 1, out_pages4 - 1)
+                    @pl.when(pg_b + RING >= cw_s)
+                    def _(pg_b=pg_b, s=s):
+                        b_ref[s, :] = ring_ref[pg_b & (RING - 1), s, :]
+                    @pl.when(pg_b + RING < cw_s)
+                    def _(pg_b=pg_b, s=s):
+                        pltpu.make_async_copy(out_ref.at[pg_b, s],
+                                              b_ref.at[s], bsem.at[s]).start()
+                        needb[s] = jnp.int32(1)
+            for s in range(n):
+                @pl.when(needa[s] != 0)
+                def _(s=s):
+                    pltpu.make_async_copy(out_ref.at[0, s], a_ref.at[s],
+                                          asem.at[s]).wait()
+                    needa[s] = jnp.int32(0)
+                @pl.when(needb[s] != 0)
+                def _(s=s):
+                    pltpu.make_async_copy(out_ref.at[0, s], b_ref.at[s],
+                                          bsem.at[s]).wait()
+                    needb[s] = jnp.int32(0)
 
             wv = w_ref[:]
             av = jnp.where(spg == cur_w, wv, a_ref[:])
@@ -640,7 +720,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             outpos0 = getv(st, ST_OUTPOS)
             ipg0 = jnp.where(valid, pk_start >> 9, inpos >> 9)
             packed0 = (jnp.clip(ipg0, 0, in_pages - 1)
-                       | ((outpos0 >> 9) << 10))
+                       | ((outpos0 >> 9) << 14))
             x_ref[:] = jnp.where(lane_i == 0, packed0, 0)
             scalar_stage()
 
@@ -707,7 +787,11 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
                                       dsem.at[s]).wait()
                 pend_dma[s] = jnp.int32(0)
-            out_ref[x_ref[s, 0], s, :] = w_ref[s, :]
+            pltpu.make_async_copy(w_ref.at[s], out_ref.at[x_ref[s, 0], s],
+                                  fsem.at[s]).start()
+        for s in range(n):
+            pltpu.make_async_copy(w_ref.at[s], out_ref.at[0, s],
+                                  fsem.at[s]).wait()
 
     return kernel, tot_pages
 
@@ -730,10 +814,11 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
                   pl.BlockSpec(memory_space=pltpu.ANY)],   # src stays in HBM
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=(pl.BlockSpec(memory_space=pltpu.ANY),   # dict/out in HBM
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((tot_pages, n, PAGE), _I32),   # fam
+            pltpu.VMEM((RING, n, PAGE), _I32),        # ring dict cache
             pltpu.VMEM((n, PAGE), _I32),              # W  write window (words)
             pltpu.VMEM((n, PAGE), _I32),              # M  matched-byte row
             pltpu.VMEM((n, PAGE), _I32),              # A  copy src row
@@ -744,8 +829,16 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
             pltpu.SMEM((n,), _I32),                   # prev input page
             pltpu.SMEM((n,), _I32),                   # tracked write page
             pltpu.SMEM((n,), _I32),                   # pending prefetch DMA
+            pltpu.SMEM((n,), _I32),                   # pending flush DMA
+            pltpu.SMEM((n,), _I32),                   # pending m-row DMA
+            pltpu.SMEM((n,), _I32),                   # pending a-row DMA
+            pltpu.SMEM((n,), _I32),                   # pending b-row DMA
             pltpu.SemaphoreType.DMA((n,)),            # per-stream input DMA
             pltpu.SemaphoreType.DMA,                  # init DMA
+            pltpu.SemaphoreType.DMA((n,)),            # flush DMA
+            pltpu.SemaphoreType.DMA((n,)),            # m-row DMA
+            pltpu.SemaphoreType.DMA((n,)),            # a-row DMA
+            pltpu.SemaphoreType.DMA((n,)),            # b-row DMA
         ],
         interpret=interpret,
     )(meta, src_words)
@@ -774,9 +867,24 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
     and overlap host-side batch assembly + dispatch latency with device
     compute (the MtCoder read-ring equivalent for the device path).
     """
+    meta, words, dims = _prep_groups(src, pack_ends, unpack_ends, flags,
+                                     active, dic_cap=dic_cap)
+    n, in_pages, out_pages, n_chunks = dims
+    return _decode_call(
+        jnp.asarray(meta), jnp.asarray(words),
+        n_streams=n, in_pages=in_pages, out_pages=out_pages,
+        lc=lc, lp=lp, pb=pb, n_chunks=n_chunks,
+        interpret=_resolve_interpret(interpret))
+
+
+def _resolve_interpret(interpret):
     import os
     if interpret is None:  # Mosaic needs a real TPU; CPU tests interpret
         interpret = os.environ.get("LZT_PALLAS_INTERPRET", "0") == "1"
+    return interpret
+
+
+def _prep_groups(src, pack_ends, unpack_ends, flags, active, *, dic_cap):
     n, pack_cap = src.shape
     n_chunks = pack_ends.shape[1]
     assert n_chunks <= PAGE, n_chunks
@@ -795,10 +903,49 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
     meta[3, :, :n_chunks] = pack_ends
     meta[4, :, :n_chunks] = unpack_ends
     meta[5, :, :n_chunks] = flags
-    return _decode_call(
-        jnp.asarray(meta), jnp.asarray(words),
-        n_streams=n, in_pages=in_pages, out_pages=out_pages,
-        lc=lc, lp=lp, pb=pb, n_chunks=n_chunks, interpret=interpret)
+    return meta, words, (n, in_pages, out_pages, n_chunks)
+
+
+def submit_groups_sharded(src: np.ndarray, pack_ends: np.ndarray,
+                          unpack_ends: np.ndarray, flags: np.ndarray,
+                          active: np.ndarray, *, dic_cap: int, mesh,
+                          axis: str = "dp", lc: int = 3, lp: int = 0,
+                          pb: int = 2, interpret: bool | None = None):
+    """submit_groups with the lane axis sharded over a device mesh.
+
+    The MtCoder-equivalent data parallelism (SURVEY §2.4-2): dict-reset
+    groups are independent, so lanes partition over the ``dp`` mesh axis
+    via ``shard_map`` — each device runs the SAME group kernel on its lane
+    shard, zero cross-device traffic inside the decode (the ordered gather
+    happens host-side, keyed by group index).  On CPU meshes the kernel
+    runs in interpret mode (Mosaic needs a real TPU); the code path —
+    batch assembly, kernel semantics, lane partitioning — is identical.
+    """
+    import jax
+    from jax.sharding import PartitionSpec
+    import functools as _ft
+    if hasattr(jax, "shard_map"):
+        shard_map = _ft.partial(jax.shard_map, check_vma=False)
+    else:  # older jax
+        from jax.experimental.shard_map import shard_map as _sm
+        shard_map = _ft.partial(_sm, check_rep=False)
+    meta, words, dims = _prep_groups(src, pack_ends, unpack_ends, flags,
+                                     active, dic_cap=dic_cap)
+    n, in_pages, out_pages, n_chunks = dims
+    ndev = mesh.shape[axis]
+    assert n % ndev == 0, (n, ndev)
+    interpret = _resolve_interpret(interpret)
+
+    def per_device(m, w):
+        return _decode_call(m, w, n_streams=n // ndev, in_pages=in_pages,
+                            out_pages=out_pages, lc=lc, lp=lp, pb=pb,
+                            n_chunks=n_chunks, interpret=interpret)
+
+    lane_spec = PartitionSpec(None, axis, None)
+    f = shard_map(per_device, mesh=mesh,
+                  in_specs=(lane_spec, lane_spec),
+                  out_specs=(lane_spec, lane_spec))
+    return f(jnp.asarray(meta), jnp.asarray(words))
 
 
 def submit_chunks(src: np.ndarray, pack_len: np.ndarray,

@@ -115,7 +115,7 @@ class BatchedLzma2Decoder:
                     results[gi] = data
         for lane_idx, handle in pending:
             outs = self._finalize_batch_pallas(
-                handle, [groups[i] for i in lane_idx])
+                handle, [groups[i] for i in lane_idx], stream, lane_idx)
             for gi, data in zip(lane_idx, outs):
                 results[gi] = data
         return results  # type: ignore[return-value]
@@ -151,16 +151,33 @@ class BatchedLzma2Decoder:
                                lc=s.lc, lp=s.lp, pb=s.pb)
 
     def _finalize_batch_pallas(self, handle,
-                               lane_groups: list[list[framing.Chunk]]
-                               ) -> list[bytes]:
+                               lane_groups: list[list[framing.Chunk]],
+                               stream: bytes,
+                               group_idx: list[int]) -> list[bytes]:
+        """Materialize a batch; failed lanes retry on the host, alone.
+
+        The reference's MtCoder poisons the whole ring on any thread error
+        (``MtCoder.c:226-247``); here a bad lane is re-decoded by the scalar
+        host engine so one corrupt group fails by itself, identified by its
+        group index, without discarding the batch's other lanes.
+        """
         from ..ops import pallas_decode as P
 
         out, ok, _consumed = P.finalize_chunks(handle,
                                                dic_cap=self.shape.dic_cap)
-        if not ok[:len(lane_groups)].all():
-            raise DataError("pallas LZMA2 decode failed on at least one lane")
-        return [out[li, :sum(c.unpack_size for c in g)].tobytes()
-                for li, g in enumerate(lane_groups)]
+        outs: list[bytes] = []
+        for li, g in enumerate(lane_groups):
+            if ok[li]:
+                outs.append(out[li, :sum(c.unpack_size for c in g)].tobytes())
+                continue
+            try:
+                outs.append(framing.decode_chunks(stream, g))
+            except Exception as e:
+                raise DataError(
+                    f"LZMA2 decode failed for dict-reset group "
+                    f"{group_idx[li]} (device verdict and host retry both "
+                    f"failed): {e}") from e
+        return outs
 
     def _decode_batch_xla(self, stream: bytes,
                           lane_groups: list[list[framing.Chunk]]

@@ -3,9 +3,10 @@
 Parity targets: the reference's reflected CRC32 poly 0xEDB88320
 (``7zCrc.c:9-18``; identical to zlib, so ``binascii.crc32`` is bit-exact),
 the xz CRC64 poly 0xC96C5795D7870F42 (``XzCrc64.c:6-33``), and SHA-256
-(``Sha256.c``; ``hashlib`` is bit-exact).  The host path here is
-numpy/stdlib; the native C++ engine provides the fast slicing-by-8 kernels,
-and batched device-side variants live in ``ops.checksum``.
+(``Sha256.c``; ``hashlib`` is bit-exact).  CRC64 routes through the native
+C++ slicing-by-8 kernel when the runtime library is available (the numpy
+path below is the fallback, ~500x slower); batched device-side variants
+live in ``ops.checksum``.
 """
 
 from __future__ import annotations
@@ -16,6 +17,12 @@ import hashlib
 import numpy as np
 
 CRC64_POLY = 0xC96C5795D7870F42
+
+try:  # native slicing-by-8 kernel (7zCrcOpt.c:10-27 parity target)
+    from .. import native as _native
+    _native_crc64 = _native.crc64 if _native.available() else None
+except Exception:  # pragma: no cover - import-time environment issues
+    _native_crc64 = None
 
 _crc64_table: np.ndarray | None = None
 
@@ -46,6 +53,8 @@ def crc32(data: bytes | bytearray | memoryview, value: int = 0) -> int:
 
 def crc64(data: bytes | bytearray | memoryview, value: int = 0) -> int:
     """One-shot / rolling CRC64 (reference ``Crc64Calc``/``Crc64Update``)."""
+    if _native_crc64 is not None:
+        return _native_crc64(bytes(data), value)
     t = _crc64_tables()
     crc = np.uint64(value ^ 0xFFFFFFFFFFFFFFFF)
     buf = np.frombuffer(bytes(data), dtype=np.uint8)
