@@ -43,6 +43,7 @@ def lzma2_compress(data: bytes, *, level: int = 5,
                    threads: int | None = None,
                    effort: int | None = None,
                    progress=None,
+                   props=None,
                    engine: str = "auto") -> tuple[bytes, int]:
     """Compress to a raw LZMA2 stream. Returns ``(stream, dict_prop_byte)``.
 
@@ -52,8 +53,16 @@ def lzma2_compress(data: bytes, *, level: int = 5,
     (defaults from level like the reference's algo knob, LzmaEnc.c:53-74).
     ``progress(done_bytes, out_bytes)``: return False to abort
     (ICompressProgress semantics, Types.h:220-225).
+    ``props``: a ``utils.props.EncProps`` — the CLzmaEncProps-shaped
+    config surface; explicit keyword args override its fields.
     """
     from .models.lzma2 import framing
+    if props is not None:
+        p = props.normalize()
+        dict_size = p.dict_size if dict_size is None else dict_size
+        chunk_size = p.chunk_size if chunk_size is None else chunk_size
+        effort = p.effort if effort is None else effort
+        threads = p.num_block_threads if threads is None else threads
     if dict_size is None:
         dict_size = default_dict_size(level)
     if effort is None:
@@ -70,16 +79,67 @@ def lzma2_compress(data: bytes, *, level: int = 5,
 
 def lzma2_uncompress(stream: bytes, dict_prop: int, *,
                      threads: int | None = None,
+                     progress=None,
                      engine: str = "auto") -> bytes:
     """Decompress a raw LZMA2 stream.
 
     ``threads``: decode dict-reset groups concurrently (ordered join).
+    ``progress(in_bytes, out_bytes)``: per-group decode progress; return
+    False to abort (decode-side ICompressProgress, Types.h:220-225).
     """
-    if threads is not None and threads != 1 and engine in ("auto", "native"):
+    if progress is not None or (threads is not None and threads != 1
+                                and engine in ("auto", "native")):
         from .parallel.host_pool import decode_lzma2_mt
-        return decode_lzma2_mt(stream, dict_prop, threads=threads)
+        return decode_lzma2_mt(stream, dict_prop, threads=threads,
+                               progress=progress)
     from .models.lzma2 import framing
     return framing.decode(stream, dict_prop, engine=engine)
+
+
+def lzma2_compress_stream(*, level: int = 5, dict_size: int | None = None,
+                          lc: int = 3, lp: int = 0, pb: int = 2,
+                          effort: int | None = None):
+    """Incremental LZMA2 encoder with O(dict) memory.
+
+    Returns a compressobj-style object: ``compress(bytes) -> bytes`` /
+    ``flush() -> bytes`` / ``dict_prop``.  The streaming counterpart of
+    the reference's ``LzmaEnc_Encode2`` sliding-window loop
+    (``LzmaEnc.c:2154-2184``, ``LzFind.c:57-121``).
+    """
+    from .native import Lzma2StreamEncoder
+    if dict_size is None:
+        dict_size = default_dict_size(level)
+    if effort is None:
+        effort = default_effort(level)
+    return Lzma2StreamEncoder(dict_size, lc=lc, lp=lp, pb=pb, effort=effort)
+
+
+def lzma2_compress_file(src_path: str, dst_path: str, *, level: int = 5,
+                        dict_size: int | None = None,
+                        effort: int | None = None,
+                        read_size: int = 1 << 20,
+                        progress=None) -> int:
+    """File-to-file LZMA2 encode in O(dict) memory; returns dict_prop.
+
+    Output is the raw LZMA2 stream (prefix it with the returned prop byte
+    for the oracle's ``lzma2d`` framing).  Encodes inputs far larger than
+    RAM: only the sliding window + one read buffer are resident.
+    """
+    enc = lzma2_compress_stream(level=level, dict_size=dict_size,
+                                effort=effort)
+    done = 0
+    with open(src_path, "rb") as fin, open(dst_path, "wb") as fout:
+        while True:
+            piece = fin.read(read_size)
+            if not piece:
+                break
+            fout.write(enc.compress(piece))
+            done += len(piece)
+            if progress is not None and progress(done, fout.tell()) is False:
+                from .utils.errors import ProgressAborted
+                raise ProgressAborted()
+        fout.write(enc.flush())
+    return enc.dict_prop
 
 
 def default_dict_size(level: int) -> int:

@@ -102,12 +102,14 @@ def _run(args) -> int:
         return 0
     # e / x
     out = SZ.extract(data)
+    mtimes = {f.name: f.mtime for f in SZ.parse(data).files}
     for name, blob in out.items():
         target = os.path.join(args.out,
                               name if cmd == "x" else os.path.basename(name))
         os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
         with open(target, "wb") as f:
             f.write(blob)
+        SZ.apply_mtime(target, mtimes.get(name))
         print(name)
     return 0
 

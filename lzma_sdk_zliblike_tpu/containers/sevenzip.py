@@ -22,6 +22,7 @@ for golden fixtures and as a framework capability.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from ..models.lzma.spec import LzmaProps
@@ -193,7 +194,7 @@ class FileEntry:
     has_stream: bool = True
     is_dir: bool = False
     is_empty_file: bool = False
-    mtime: int | None = None
+    mtime: int | None = None  # NTFS FILETIME (100ns ticks since 1601)
     attrib: int | None = None
     folder: int = -1
     offset_in_folder: int = 0
@@ -589,6 +590,16 @@ def _run_coder(coder: Coder, ins: list[bytes], out_size: int,
             raise DataError("LZMA2 folder size mismatch")
         return out
     if m == M_PPMD:
+        # size-gated like the reference's _7ZIP_PPMD_SUPPPORT compile gate
+        # (7zDec.c:6,15): the PPMd codec here is the host reference
+        # implementation (~50 KB/s) — a large PPMd folder would look like
+        # a hang, so folders beyond the cap need an explicit opt-in.
+        cap = int(os.environ.get("LZT_PPMD_MAX_BYTES", str(4 << 20)))
+        if out_size > cap:
+            raise UnsupportedError(
+                f"PPMd folder of {out_size} bytes exceeds the "
+                f"LZT_PPMD_MAX_BYTES gate ({cap}); raise it to decode "
+                "with the (slow) host PPMd7 codec")
         from ..models.ppmd7 import codec as ppmd
         return ppmd.decode(ins[0], coder.props, out_size)
     if m == M_BCJ:
@@ -681,10 +692,12 @@ def _write_number_bytes(v: int) -> bytes:
 def write(files: dict[str, bytes], *, method: int = M_LZMA2,
           dict_size: int = 1 << 20, solid: bool = True,
           pre_filter: int | None = None, encode_header: bool = False,
-          effort: int = 9, engine: str = "auto") -> bytes:
+          effort: int = 9, engine: str = "auto",
+          mtimes: dict[str, int] | None = None) -> bytes:
     """Build a .7z archive. ``solid`` packs all files into one folder;
     ``encode_header`` LZMA-compresses the metadata header (the
-    kEncodedHeader form real 7z archives use)."""
+    kEncodedHeader form real 7z archives use); ``mtimes`` maps names to
+    NTFS FILETIME ticks for the kMTime vector."""
     names = list(files.keys())
     blobs = [files[n] for n in names]
 
@@ -864,6 +877,27 @@ def write(files: dict[str, bytes], *, method: int = M_LZMA2,
     w.number(len(name_blob) + 1)
     w.byte(0)  # not external
     w.bytes_(name_blob)
+    if mtimes:
+        # kMTime vector: defined-bit vector + 8-byte FILETIMEs
+        # (SzReadHeader2's MTime branch, 7zIn.c parity)
+        defined = [n in mtimes for n in names]
+        tbits = bytearray((len(names) + 7) // 8)
+        for i, dfn in enumerate(defined):
+            if dfn:
+                tbits[i // 8] |= 0x80 >> (i % 8)
+        blob = bytearray()
+        if all(defined):
+            blob.append(1)  # allDefined
+        else:
+            blob.append(0)
+            blob += bytes(tbits)
+        blob.append(0)      # not external
+        for n_, dfn in zip(names, defined):
+            if dfn:
+                blob += int(mtimes[n_]).to_bytes(8, "little")
+        w.byte(K_MTIME)
+        w.number(len(blob))
+        w.bytes_(bytes(blob))
     w.byte(K_END)
     w.byte(K_END)
 
@@ -916,6 +950,26 @@ def write(files: dict[str, bytes], *, method: int = M_LZMA2,
 # ---------------------------------------------------------------------------
 # embedded-archive carving (the fork's LetsFind7z, My_Fucking_Main.cpp:21-70)
 # ---------------------------------------------------------------------------
+
+_FILETIME_EPOCH_DELTA = 11644473600  # seconds between 1601 and 1970
+
+
+def filetime_to_unix(ticks: int) -> float:
+    """NTFS FILETIME (100ns since 1601) → unix seconds (7zMain.c:223-259)."""
+    return ticks / 10**7 - _FILETIME_EPOCH_DELTA
+
+
+def apply_mtime(target: str, mtime: int | None) -> None:
+    """Set a file's modification time from 7z MTime metadata (the
+    reference sets times on extract, 7zMain.c:438-475)."""
+    if not mtime:
+        return
+    t = filetime_to_unix(mtime)
+    try:
+        os.utime(target, times=(t, t))
+    except OSError:
+        pass  # unsupported filesystem: extraction still succeeds
+
 
 def find_signature(data: bytes, start: int = 0) -> int:
     """Offset of the first 7z signature at/after ``start``, or -1."""

@@ -95,6 +95,23 @@ def _bind(lib: ctypes.CDLL) -> None:
             ctypes.c_int, ctypes.POINTER(ctypes.c_int),      # effort prop
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,    # ext, ext_k
         ]
+    if hasattr(lib, "lzt_stream_enc_new"):
+        lib.lzt_stream_enc_new.restype = ctypes.c_void_p
+        lib.lzt_stream_enc_new.argtypes = [
+            ctypes.c_uint32, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.POINTER(ctypes.c_int)]
+        lib.lzt_stream_enc_feed.restype = None
+        lib.lzt_stream_enc_feed.argtypes = [ctypes.c_void_p, u8p,
+                                            ctypes.c_size_t]
+        lib.lzt_stream_enc_finish.restype = None
+        lib.lzt_stream_enc_finish.argtypes = [ctypes.c_void_p]
+        lib.lzt_stream_enc_pending.restype = ctypes.c_size_t
+        lib.lzt_stream_enc_pending.argtypes = [ctypes.c_void_p]
+        lib.lzt_stream_enc_drain.restype = ctypes.c_size_t
+        lib.lzt_stream_enc_drain.argtypes = [ctypes.c_void_p, u8p,
+                                             ctypes.c_size_t]
+        lib.lzt_stream_enc_free.restype = None
+        lib.lzt_stream_enc_free.argtypes = [ctypes.c_void_p]
 
 
 def _as_u8p(b) -> "ctypes.POINTER(ctypes.c_uint8)":
@@ -215,3 +232,60 @@ def crc32(data: bytes, value: int = 0) -> int:
 def crc64(data: bytes, value: int = 0) -> int:
     lib = _load()
     return lib.lzt_crc64(_as_u8p(data), len(data), value)
+
+
+class Lzma2StreamEncoder:
+    """Incremental bounded-memory LZMA2 encoder (native sliding window).
+
+    The compressobj-style counterpart of the reference's streaming encode
+    path (``LzmaEnc_Encode2``'s block loop over a MoveBlock window,
+    ``LzmaEnc.c:2154-2184`` + ``LzFind.c:57-121``): feed ``compress()``
+    arbitrary pieces, collect compressed bytes as they are produced, and
+    ``flush()`` for the EOS-terminated tail.  Memory stays O(dict) no
+    matter how much data flows through.
+    """
+
+    def __init__(self, dict_size: int = 1 << 24, *, lc: int = 3,
+                 lp: int = 0, pb: int = 2, effort: int = 9):
+        lib = _load()
+        if lib is None or not hasattr(lib, "lzt_stream_enc_new"):
+            raise RuntimeError("native runtime library not available")
+        self._lib = lib
+        prop = ctypes.c_int(0)
+        self._h = lib.lzt_stream_enc_new(dict_size, lc, lp, pb, effort,
+                                         ctypes.byref(prop))
+        if not self._h:
+            from .utils.errors import ParamError
+            raise ParamError("bad stream encoder params")
+        self.dict_prop = prop.value
+        self._buf = (ctypes.c_uint8 * (1 << 20))()
+        self._done = False
+
+    def _drain(self) -> bytes:
+        out = bytearray()
+        while True:
+            n = self._lib.lzt_stream_enc_drain(self._h, self._buf,
+                                               len(self._buf))
+            if not n:
+                return bytes(out)
+            out += bytes(self._buf[:n])
+
+    def compress(self, data) -> bytes:
+        assert not self._done, "flush() already called"
+        mv = memoryview(data)
+        self._lib.lzt_stream_enc_feed(self._h, _as_u8p(bytes(mv)), len(mv))
+        return self._drain()
+
+    def flush(self) -> bytes:
+        assert not self._done
+        self._done = True
+        self._lib.lzt_stream_enc_finish(self._h)
+        out = self._drain()
+        self._lib.lzt_stream_enc_free(self._h)
+        self._h = None
+        return out
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.lzt_stream_enc_free(self._h)
+            self._h = None

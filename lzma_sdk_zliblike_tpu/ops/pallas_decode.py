@@ -109,6 +109,8 @@ ST_LAST = 6
 ST_PLEN = 7
 ST_PDIST = 8
 ST_ERR = 9
+ST_PIPG = 10      # staged input page at last staging (event detection)
+ST_PCW = 11       # write word-page at last staging (event detection)
 
 
 # ---------------------------------------------------------------------------
@@ -218,19 +220,50 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         def setv(st, k, v):
             return jnp.where(lane_i == k, v, st)
 
+        sid = jax.lax.broadcasted_iota(_I32, (n, PAGE), 0)
+
+        def _pack_events(evt):
+            """[n,PAGE] 0/1 (lane-uniform) -> rows 0..ngr-1 hold the packed
+            32-bit event word of streams 32g..32g+31 (sublane reduce)."""
+            shifted = evt << (sid & 31)
+            rows = jnp.zeros((n, PAGE), _I32)
+            for g in range(-(-n // 32)):
+                gw = jnp.sum(jnp.where((sid >> 5) == g, shifted, 0), axis=0)
+                rows = jnp.where(sid == g, gw[None, :], rows)
+            return rows
+
+        ngr = -(-n // 32)  # stream groups of 32 for packed event words
+
         def scalar_stage():
-            """Gated per-stream staging driven by the packed word in x_ref.
+            """Event-gated per-stream staging driven by packed x_ref words.
 
             lane 0 of x_ref: bits [0:14) staged input page, [14:29) current
             output word page (flush target check), [29] load-matched-row
             flag; lane 1 holds the matched-byte word page when bit 29 is
-            set.  The dictionary (= the packed output) lives in HBM: page
+            set.  Lane 2 of rows 0..ngr-1 holds 32 per-stream EVENT bits
+            each (computed by the vector core from the carried ST_PIPG /
+            ST_PCW mirrors): the scalar core reads one word per 32 streams
+            and touches only streams that actually have a page event —
+            scalar VMEM reads are the staging cost, and most iterations
+            most streams have no event.
+
+            The dictionary (= the packed output) lives in HBM: page
             flushes are VMEM→HBM DMAs, and dictionary reads come from the
             VMEM ring (last RING flushed pages) or an HBM DMA for older
             pages.  DMA starts are issued for all streams first and waited
             in a second pass so the latencies overlap across streams.
             """
-            for s in range(n):
+            for g in range(ngr):
+                ew = x_ref[g, 2]
+                @pl.when(ew != 0)
+                def _(ew=ew, g=g):
+                    for s in range(g * 32, min(n, g * 32 + 32)):
+                        @pl.when(((ew >> (s - g * 32)) & 1) != 0)
+                        def _(s=s):
+                            _stage_one(s)
+            _stage_waits()
+
+        def _stage_one(s):
                 v = x_ref[s, 0]
                 pg_i = v & 0x3FFF
                 cu = (v >> 14) & 0x7FFF
@@ -240,19 +273,13 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                     ring_ref[tracked[s] & (RING - 1), s, :] = w_ref[s, :]
                     pltpu.make_async_copy(w_ref.at[s],
                                           out_ref.at[tracked[s], s],
-                                          fsem.at[s]).start()
+                                          fsem).start()
                     needf[s] = jnp.int32(1)
                     tracked[s] = cu
-                # input double-buffer: i1 always holds the NEXT page,
-                # prefetched at the previous advance.  The wait is deferred
-                # to the iteration after the start — i1 is not read until
-                # ~500 input bytes later, so the DMA latency is off the
-                # critical path.
-                @pl.when(pend_dma[s] != 0)
-                def _(s=s):
-                    pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
-                                          dsem.at[s]).wait()
-                    pend_dma[s] = jnp.int32(0)
+                # input double-buffer: i1 always holds the NEXT page; the
+                # prefetch started here is waited in _stage_waits (which
+                # runs every iteration), so any pending prefetch is always
+                # complete before the next advance swaps i0 <- i1
                 @pl.when(pg_i != prev_ipg[s])
                 def _(pg_i=pg_i, s=s):
                     i0_ref[s, :] = i1_ref[s, :]
@@ -271,18 +298,51 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                     @pl.when(mw + RING < cu)
                     def _(mw=mw, s=s):
                         pltpu.make_async_copy(out_ref.at[mw, s],
-                                              m_ref.at[s], msem.at[s]).start()
+                                              m_ref.at[s], msem).start()
                         needm[s] = jnp.int32(1)
+
+        def _stage_copy_one(s):
+            v2 = x_ref[s, 0]
+            pg_a = v2 & 0x7FFF
+            cw_s = tracked[s]
+            @pl.when(((v2 >> 28) & 1) != 0)
+            def _(pg_a=pg_a, cw_s=cw_s, s=s):
+                @pl.when(pg_a + RING >= cw_s)
+                def _(pg_a=pg_a, s=s):
+                    a_ref[s, :] = ring_ref[pg_a & (RING - 1), s, :]
+                @pl.when(pg_a + RING < cw_s)
+                def _(pg_a=pg_a, s=s):
+                    pltpu.make_async_copy(out_ref.at[pg_a, s],
+                                          a_ref.at[s], asem).start()
+                    needa[s] = jnp.int32(1)
+            @pl.when(((v2 >> 29) & 1) != 0)
+            def _(pg_a=pg_a, cw_s=cw_s, s=s):
+                pg_b = jnp.minimum(pg_a + 1, out_pages4 - 1)
+                @pl.when(pg_b + RING >= cw_s)
+                def _(pg_b=pg_b, s=s):
+                    b_ref[s, :] = ring_ref[pg_b & (RING - 1), s, :]
+                @pl.when(pg_b + RING < cw_s)
+                def _(pg_b=pg_b, s=s):
+                    pltpu.make_async_copy(out_ref.at[pg_b, s],
+                                          b_ref.at[s], bsem).start()
+                    needb[s] = jnp.int32(1)
+
+        def _stage_waits():
             for s in range(n):
+                @pl.when(pend_dma[s] != 0)
+                def _(s=s):
+                    pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
+                                          dsem.at[s]).wait()
+                    pend_dma[s] = jnp.int32(0)
                 @pl.when(needf[s] != 0)
                 def _(s=s):
                     pltpu.make_async_copy(w_ref.at[s], out_ref.at[0, s],
-                                          fsem.at[s]).wait()
+                                          fsem).wait()
                     needf[s] = jnp.int32(0)
                 @pl.when(needm[s] != 0)
                 def _(s=s):
                     pltpu.make_async_copy(out_ref.at[0, s], m_ref.at[s],
-                                          msem.at[s]).wait()
+                                          msem).wait()
                     needm[s] = jnp.int32(0)
 
         CHECK_EVERY = 64  # busy-check period (power of two)
@@ -343,8 +403,17 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             packed = (jnp.clip(ipg, 0, in_pages - 1)
                       | (cur_w << 14)
                       | jnp.where(need_m, 1 << 29, 0))
+            # per-stream event bits (input-page advance / write-page flush /
+            # matched-row load), packed 32 streams per word so the scalar
+            # core skips event-free streams entirely
+            evt = jnp.where((ipg != getv(st, ST_PIPG))
+                            | (cur_w != getv(st, ST_PCW)) | need_m, 1, 0)
+            st = setv(st, ST_PIPG, ipg)
+            st = setv(st, ST_PCW, cur_w)
+            erows = _pack_events(evt)
             x_ref[:] = jnp.where(lane_i == 0, packed,
-                                 jnp.where(lane_i == 1, m_w, 0))
+                                 jnp.where(lane_i == 1, m_w,
+                                           jnp.where(lane_i == 2, erows, 0)))
             scalar_stage()
 
             def renorm(rc, do):
@@ -614,44 +683,32 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                        | jnp.where(ac & (spg != cur_w), 1 << 28, 0)
                        | jnp.where(ac & (spgn != cur_w) & (spgn != spg),
                                    1 << 29, 0))
-            x_ref[:] = jnp.where(lane_i == 0, packed2, 0)
+            evt2 = jnp.where((packed2 >> 28) != 0, 1, 0)
+            erows2 = _pack_events(evt2)
+            x_ref[:] = jnp.where(lane_i == 0, packed2,
+                                 jnp.where(lane_i == 1, erows2, 0))
             # copy-source rows: ring for the last RING pages, HBM DMA for
-            # older ones (start all, then wait all, so latencies overlap)
-            for s in range(n):
-                v2 = x_ref[s, 0]
-                pg_a = v2 & 0x7FFF
-                cw_s = tracked[s]
-                @pl.when(((v2 >> 28) & 1) != 0)
-                def _(pg_a=pg_a, cw_s=cw_s, s=s):
-                    @pl.when(pg_a + RING >= cw_s)
-                    def _(pg_a=pg_a, s=s):
-                        a_ref[s, :] = ring_ref[pg_a & (RING - 1), s, :]
-                    @pl.when(pg_a + RING < cw_s)
-                    def _(pg_a=pg_a, s=s):
-                        pltpu.make_async_copy(out_ref.at[pg_a, s],
-                                              a_ref.at[s], asem.at[s]).start()
-                        needa[s] = jnp.int32(1)
-                @pl.when(((v2 >> 29) & 1) != 0)
-                def _(pg_a=pg_a, cw_s=cw_s, s=s):
-                    pg_b = jnp.minimum(pg_a + 1, out_pages4 - 1)
-                    @pl.when(pg_b + RING >= cw_s)
-                    def _(pg_b=pg_b, s=s):
-                        b_ref[s, :] = ring_ref[pg_b & (RING - 1), s, :]
-                    @pl.when(pg_b + RING < cw_s)
-                    def _(pg_b=pg_b, s=s):
-                        pltpu.make_async_copy(out_ref.at[pg_b, s],
-                                              b_ref.at[s], bsem.at[s]).start()
-                        needb[s] = jnp.int32(1)
+            # older ones (start all, then wait all, so latencies overlap);
+            # event-gated like phase 0 — streams copying from the current
+            # write page (short distances) cost the scalar core nothing
+            for g in range(ngr):
+                ew2 = x_ref[g, 1]
+                @pl.when(ew2 != 0)
+                def _(ew2=ew2, g=g):
+                    for s in range(g * 32, min(n, g * 32 + 32)):
+                        @pl.when(((ew2 >> (s - g * 32)) & 1) != 0)
+                        def _(s=s):
+                            _stage_copy_one(s)
             for s in range(n):
                 @pl.when(needa[s] != 0)
                 def _(s=s):
                     pltpu.make_async_copy(out_ref.at[0, s], a_ref.at[s],
-                                          asem.at[s]).wait()
+                                          asem).wait()
                     needa[s] = jnp.int32(0)
                 @pl.when(needb[s] != 0)
                 def _(s=s):
                     pltpu.make_async_copy(out_ref.at[0, s], b_ref.at[s],
-                                          bsem.at[s]).wait()
+                                          bsem).wait()
                     needb[s] = jnp.int32(0)
 
             wv = w_ref[:]
@@ -721,7 +778,12 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             ipg0 = jnp.where(valid, pk_start >> 9, inpos >> 9)
             packed0 = (jnp.clip(ipg0, 0, in_pages - 1)
                        | ((outpos0 >> 9) << 14))
-            x_ref[:] = jnp.where(lane_i == 0, packed0, 0)
+            # chunk transitions force every stream through the staging body
+            # (event word all-ones) and resync the event-detection mirrors
+            st = setv(st, ST_PIPG, jnp.clip(ipg0, 0, in_pages - 1))
+            st = setv(st, ST_PCW, outpos0 >> 9)
+            x_ref[:] = jnp.where(lane_i == 0, packed0,
+                                 jnp.where(lane_i == 2, -1, 0))
             scalar_stage()
 
             # RC init: 5 header bytes, first must be 0 (LzmaDec.c:729-746)
@@ -788,10 +850,10 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                       dsem.at[s]).wait()
                 pend_dma[s] = jnp.int32(0)
             pltpu.make_async_copy(w_ref.at[s], out_ref.at[x_ref[s, 0], s],
-                                  fsem.at[s]).start()
+                                  fsem).start()
         for s in range(n):
             pltpu.make_async_copy(w_ref.at[s], out_ref.at[0, s],
-                                  fsem.at[s]).wait()
+                                  fsem).wait()
 
     return kernel, tot_pages
 
@@ -835,10 +897,14 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
             pltpu.SMEM((n,), _I32),                   # pending b-row DMA
             pltpu.SemaphoreType.DMA((n,)),            # per-stream input DMA
             pltpu.SemaphoreType.DMA,                  # init DMA
-            pltpu.SemaphoreType.DMA((n,)),            # flush DMA
-            pltpu.SemaphoreType.DMA((n,)),            # m-row DMA
-            pltpu.SemaphoreType.DMA((n,)),            # a-row DMA
-            pltpu.SemaphoreType.DMA((n,)),            # b-row DMA
+            # flush/m/a/b share ONE semaphore each across streams (sflag
+            # space holds only 512 semaphores; waits drain the aggregate
+            # count before any dependent read, so per-stream identity is
+            # not needed)
+            pltpu.SemaphoreType.DMA,                  # flush DMA
+            pltpu.SemaphoreType.DMA,                  # m-row DMA
+            pltpu.SemaphoreType.DMA,                  # a-row DMA
+            pltpu.SemaphoreType.DMA,                  # b-row DMA
         ],
         interpret=interpret,
     )(meta, src_words)

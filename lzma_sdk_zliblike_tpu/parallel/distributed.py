@@ -76,45 +76,60 @@ def decode_groups_distributed(stream: bytes, *, dict_prop: int,
     groups = framing.split_groups(chunks)
     out_parts: list[bytes | None] = [None] * len(groups)
 
+    # multi-chunk groups are first-class: a group is device-eligible when
+    # every chunk is an LZMA chunk with default props fitting the static
+    # shapes; chunk j of every lane decodes in lockstep with state carry
+    # (reset flags re-init the model exactly like Lzma2Dec.c:246-257)
     eligible = []
     for gi, g in enumerate(groups):
-        if (len(g) == 1 and g[0].is_lzma
-                and g[0].pack_size <= pack_cap
-                and g[0].unpack_size <= dic_cap):
+        if (all(c.is_lzma and c.pack_size <= pack_cap for c in g)
+                and sum(c.unpack_size for c in g) <= dic_cap
+                and all(c.props is None
+                        or (c.props.lc, c.props.lp, c.props.pb) == (3, 0, 2)
+                        for c in g)):
             eligible.append(gi)
         else:
             out_parts[gi] = framing.decode_chunks(stream, g)
 
     sh = NamedSharding(mesh, P("dp"))
-    sh_r = NamedSharding(mesh, P())
 
+    from jax.experimental import multihost_utils
     for base in range(0, len(eligible), n_lanes):
         batch = eligible[base:base + n_lanes]
-        src = np.zeros((n_lanes, pack_cap), np.uint8)
-        pl = np.zeros((n_lanes,), np.int32)
-        ul = np.zeros((n_lanes,), np.int32)
-        act = np.zeros((n_lanes,), bool)
-        for li, gi in enumerate(batch):
-            c = groups[gi][0]
-            src[li, :c.pack_size] = np.frombuffer(stream, np.uint8,
-                                                  c.pack_size, c.data_off)
-            pl[li] = c.pack_size
-            ul[li] = c.unpack_size
-            act[li] = True
         lane = B.init_lane_state(n_lanes, 3, 0, dic_cap)
         lane = jax.tree.map(lambda x: jax.device_put(x, sh), lane)
-        args = [jax.device_put(jnp.asarray(a), sh)
-                for a in (src, pl, ul, act, act)]
-        lane2, ok, _cons, _it = B.lzma_chunk_step(lane, *args)
-        from jax.experimental import multihost_utils
-        okh = multihost_utils.process_allgather(ok, tiled=True)
-        if not np.asarray(okh)[:len(batch)].all():
+        max_chunks = max(len(groups[gi]) for gi in batch)
+        all_ok = True
+        for j in range(max_chunks):
+            src = np.zeros((n_lanes, pack_cap), np.uint8)
+            pl = np.zeros((n_lanes,), np.int32)
+            ul = np.zeros((n_lanes,), np.int32)
+            reset = np.zeros((n_lanes,), bool)
+            act = np.zeros((n_lanes,), bool)
+            for li, gi in enumerate(batch):
+                g = groups[gi]
+                if j >= len(g):
+                    continue
+                c = g[j]
+                src[li, :c.pack_size] = np.frombuffer(
+                    stream, np.uint8, c.pack_size, c.data_off)
+                pl[li] = c.pack_size
+                ul[li] = c.unpack_size
+                reset[li] = c.mode >= framing.MODE_STATE
+                act[li] = True
+            args = [jax.device_put(jnp.asarray(a), sh)
+                    for a in (src, pl, ul, reset, act)]
+            lane, ok, _cons, _it = B.lzma_chunk_step(lane, *args)
+            okh = multihost_utils.process_allgather(ok, tiled=True)
+            all_ok = bool(np.asarray(okh).all()) and all_ok
+        if not all_ok:
             raise RuntimeError("distributed decode failed on a lane")
         dic = np.asarray(
-            multihost_utils.process_allgather(lane2.dic, tiled=True)
+            multihost_utils.process_allgather(lane.dic, tiled=True)
         ).astype(np.uint8)
         for li, gi in enumerate(batch):
-            out_parts[gi] = dic[li, :groups[gi][0].unpack_size].tobytes()
+            unpack = sum(c.unpack_size for c in groups[gi])
+            out_parts[gi] = dic[li, :unpack].tobytes()
 
     if jax.process_index() != 0:
         return None

@@ -73,12 +73,18 @@ def encode_lzma2_mt(data: bytes, *, dict_size: int, chunk_size: int,
 
 
 def decode_lzma2_mt(stream: bytes, dict_prop: int, *,
-                    threads: int | None = None) -> bytes:
+                    threads: int | None = None,
+                    progress=None) -> bytes:
     """Parallel LZMA2 decode: dict-reset groups decoded concurrently.
 
     Groups are contiguous slices of the stream; each is standalone (starts
     with a full-reset chunk), so every worker runs the native decoder on
     its slice and the ordered join reassembles the output.
+
+    ``progress(in_bytes, out_bytes)`` is invoked at each group's ordered
+    completion (``ICompressProgress`` semantics, ``Types.h:220-225`` —
+    the decode-side counterpart the reference only wires to encode);
+    returning ``False`` aborts with ``ProgressAborted``.
     """
     from .. import native
     from ..models.lzma2 import framing
@@ -86,7 +92,11 @@ def decode_lzma2_mt(stream: bytes, dict_prop: int, *,
     chunks, _ = framing.scan(stream)
     groups = framing.split_groups(chunks)
     if not native.available() or len(groups) <= 1:
-        return framing.decode(stream, dict_prop)
+        out = framing.decode(stream, dict_prop)
+        if progress is not None and progress(len(stream), len(out)) is False:
+            from ..utils.errors import ProgressAborted
+            raise ProgressAborted()
+        return out
 
     def ctrl_off(c):
         if not c.is_lzma:
@@ -107,6 +117,14 @@ def decode_lzma2_mt(stream: bytes, dict_prop: int, *,
         return native.lzma2_decode(stream[start:end] + b"\x00", dict_prop,
                                    size_hint=unpack)
 
+    out = bytearray()
     with ThreadPoolExecutor(max_workers=nt) as pool:
-        parts = list(pool.map(decode_span, spans))
-    return b"".join(parts)
+        futures = [pool.submit(decode_span, s) for s in spans]
+        for (start, end, _u), fut in zip(spans, futures):
+            out += fut.result()   # ordered join (write-token equivalent)
+            if progress is not None and progress(end, len(out)) is False:
+                for f in futures:
+                    f.cancel()
+                from ..utils.errors import ProgressAborted
+                raise ProgressAborted()
+    return bytes(out)

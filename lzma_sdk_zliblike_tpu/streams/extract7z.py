@@ -63,6 +63,11 @@ def extract_streaming(path: str, out_dir: str, *, verify: bool = True,
                                          temp_dir)
                 router.close()
                 names += [e[0] for e in ents]
+            # file times from the archive's MTime vector (the reference
+            # sets them on extract, 7zMain.c:438-475)
+            for f in ar.files:
+                if f.has_stream and not f.is_dir:
+                    SZ.apply_mtime(os.path.join(out_dir, f.name), f.mtime)
             # zero-size files and directories (ExtractZeroSizeFiles,
             # 7zIn.c:1428-1446)
             for f in ar.files:
@@ -73,6 +78,7 @@ def extract_streaming(path: str, out_dir: str, *, verify: bool = True,
                 elif not f.has_stream:
                     os.makedirs(os.path.dirname(target) or ".", exist_ok=True)
                     open(target, "wb").close()
+                    SZ.apply_mtime(target, f.mtime)
                     names.append(f.name)
         finally:
             mm.close()

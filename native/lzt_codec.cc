@@ -420,14 +420,39 @@ class MatchFinder {
  public:
   static constexpr u32 kHashBits = 17;
   MatchFinder(const u8* data, size_t n, u32 dict_size, int max_chain,
-              int nice_len, bool short_hashes = false)
+              int nice_len, bool short_hashes = false, size_t cap = 0)
       : data_(data), n_(n), dict_size_(dict_size), max_chain_(max_chain),
         nice_len_(nice_len < 273 ? nice_len : 273),
-        head_(1u << kHashBits, -1), prev_(n, 0) {
+        head_(1u << kHashBits, -1), prev_(n > cap ? n : cap, 0) {
     if (short_hashes) {
       head2_.assign(1u << 16, -1);
       head3_.assign(1u << 16, -1);
     }
+  }
+
+  void set_n(size_t n) { n_ = n; }
+
+  // Window slide (the reference's MoveBlock + position normalization,
+  // LzFind.c:92-121,285-320): the caller memmoves the data buffer down by
+  // `delta`; all recorded positions rebase, entries that fall off become
+  // empty.  O(window) per slide, amortized O(1)/byte at the StreamEnc
+  // slide cadence (~dict/2 bytes between slides).
+  void slide(size_t delta) {
+    const int64_t d = (int64_t)delta;
+    auto fix = [&](std::vector<int64_t>& v) {
+      for (auto& x : v) x = x >= d ? x - d : -1;
+    };
+    fix(head_);
+    if (!head2_.empty()) {
+      fix(head2_);
+      fix(head3_);
+    }
+    const size_t keep = n_ - delta;
+    std::memmove(prev_.data(), prev_.data() + delta,
+                 keep * sizeof(int64_t));
+    for (size_t i = 0; i < keep; i++)
+      prev_[i] = prev_[i] >= d ? prev_[i] - d : -1;
+    n_ = keep;
   }
 
   inline u32 hash_at(size_t i) const {
@@ -564,17 +589,39 @@ class BtMatchFinder {
   static constexpr u32 kEmpty = 0xFFFFFFFFu;
 
   BtMatchFinder(const u8* data, size_t n, u32 dict_size, int cutoff,
-                int nice_len)
+                int nice_len, size_t cap = 0)
       : data_(data), n_(n), dict_size_(dict_size), cutoff_(cutoff),
         nice_len_(nice_len < 273 ? nice_len : 273) {
+    const size_t sz = n > cap ? n : cap;
     u32 hb = 16;
-    const u64 span = (u64)(n < dict_size ? n : dict_size);
+    const u64 span = (u64)(sz < dict_size ? sz : dict_size);
     while ((1ull << hb) < span && hb < 23) hb++;
     hash_bits_ = hb;
     head_.assign((size_t)1 << hb, kEmpty);
     head2_.assign(1u << 16, kEmpty);
     head3_.assign(1u << 16, kEmpty);
-    son_.assign(2 * n + 2, kEmpty);
+    son_.assign(2 * sz + 2, kEmpty);
+  }
+
+  void set_n(size_t n) { n_ = n; }
+
+  // Window slide (MoveBlock + position normalization analog; see
+  // MatchFinder::slide).  All stored positions rebase by -delta; entries
+  // that fall off the window become empty.
+  void slide(size_t delta) {
+    const u32 d = (u32)delta;
+    auto fix = [&](std::vector<u32>& v) {
+      for (auto& x : v) x = (x != kEmpty && x >= d) ? x - d : kEmpty;
+    };
+    fix(head_);
+    fix(head2_);
+    fix(head3_);
+    const size_t keep = n_ - delta;
+    std::memmove(son_.data(), son_.data() + 2 * delta,
+                 2 * keep * sizeof(u32));
+    for (size_t i = 0; i < 2 * keep; i++)
+      son_[i] = (son_[i] != kEmpty && son_[i] >= d) ? son_[i] - d : kEmpty;
+    n_ = keep;
   }
 
   inline u32 h4(size_t i) const {
@@ -886,10 +933,11 @@ class Encoder {
     const u32 pb_mask = (1u << pb_) - 1;
     if (!bt_ || bt_data_ != data || bt_next_ > start) {
       bt_.reset(new BtMatchFinder(data, total_n, dict_size_, max_chain_,
-                                  nice_len_));
+                                  nice_len_, stream_cap_));
       bt_data_ = data;
       bt_next_ = dic_start;
     }
+    bt_->set_n(total_n);
     while (bt_next_ < start) bt_->skip(bt_next_++);
 
     const size_t BLOCK = 0x400;
@@ -953,7 +1001,7 @@ class Encoder {
       for (size_t j = 0; j < W; j++) {
         if (cost[j] == 0xFFFFFFFFu) { bt_->skip(bt_next_++); continue; }
         const size_t pos_abs = i + j;
-        const u32 pos = (u32)(pos_abs - dic_start);
+        const u32 pos = (u32)(pos_abs - dic_start) + pos_base_;
         const u32 pos_state = pos & pb_mask;
         const int st = arr_state[j];
         const std::array<u32, 4>& rq = arr_rep[j];
@@ -1114,7 +1162,7 @@ class Encoder {
     }
 
     if (end_mark) {
-      const u32 pos_state = (u32)(end - dic_start) & pb_mask;
+      const u32 pos_state = ((u32)(end - dic_start) + pos_base_) & pb_mask;
       rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 1);
       rc.encode_bit(&probs_[IS_REP + state_], 0);
       encode_len(rc, LEN_CODER, pos_state, kMatchMinLen);
@@ -1132,7 +1180,7 @@ class Encoder {
                     size_t dic_start) {
     const u32 pb_mask = (1u << pb_) - 1;
     const u32 lp_mask = (1u << lp_) - 1;
-    const u32 pos = (u32)(i - dic_start);
+    const u32 pos = (u32)(i - dic_start) + pos_base_;
     const u32 pos_state = pos & pb_mask;
     rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 0);
     const u8 prev = i > dic_start ? data[i - 1] : 0;
@@ -1165,7 +1213,7 @@ class Encoder {
   void emit_rep(RangeEncoder& rc, const u8* data, size_t i, size_t dic_start,
                 int ri, unsigned len) {
     const u32 pb_mask = (1u << pb_) - 1;
-    const u32 pos_state = (u32)(i - dic_start) & pb_mask;
+    const u32 pos_state = ((u32)(i - dic_start) + pos_base_) & pb_mask;
     rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 1);
     rc.encode_bit(&probs_[IS_REP + state_], 1);
     if (ri == 0) {
@@ -1198,7 +1246,7 @@ class Encoder {
   // single-byte rep0 copy (decoder's IS_REP0_LONG==0 arm)
   void emit_shortrep(RangeEncoder& rc, size_t i, size_t dic_start) {
     const u32 pb_mask = (1u << pb_) - 1;
-    const u32 pos_state = (u32)(i - dic_start) & pb_mask;
+    const u32 pos_state = ((u32)(i - dic_start) + pos_base_) & pb_mask;
     rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 1);
     rc.encode_bit(&probs_[IS_REP + state_], 1);
     rc.encode_bit(&probs_[IS_REP_G0 + state_], 0);
@@ -1217,7 +1265,7 @@ class Encoder {
       }
     }
     const u32 pb_mask = (1u << pb_) - 1;
-    const u32 pos_state = (u32)(i - dic_start) & pb_mask;
+    const u32 pos_state = ((u32)(i - dic_start) + pos_base_) & pb_mask;
     rc.encode_bit(&probs_[IS_MATCH + (state_ << kPosBitsMax) + pos_state], 1);
     rc.encode_bit(&probs_[IS_REP + state_], 0);
     rep_[3] = rep_[2]; rep_[2] = rep_[1]; rep_[1] = rep_[0];
@@ -1247,13 +1295,27 @@ class Encoder {
     const u32 pb_mask = (1u << pb_) - 1;
     const u32 lp_mask = (1u << lp_) - 1;
 
-    MatchFinder mf(data, total_n, dict_size_, max_chain_, nice_len_);
-    if (!ext_)
-      for (size_t j = dic_start; j < start; j++) mf.insert(j);
-    auto mf_ins = [&](size_t j) { if (!ext_) mf.insert(j); };
+    // persistent hash-chain finder: one table build per group/window (the
+    // old per-sub-chunk rebuild re-inserted the whole prefix every 48KB)
+    if (!ext_) {
+      if (!hc_ || hc_data_ != data || hc_next_ > start) {
+        hc_.reset(new MatchFinder(data, total_n, dict_size_, max_chain_,
+                                  nice_len_, false, stream_cap_));
+        hc_data_ = data;
+        hc_next_ = dic_start;
+      }
+      hc_->set_n(total_n);
+      while (hc_next_ < start) hc_->insert(hc_next_++);
+    }
+    auto mf_ins = [&](size_t j) {
+      if (!ext_ && j >= hc_next_) {
+        hc_->insert(j);
+        hc_next_ = j + 1;
+      }
+    };
     auto probe = [&](size_t pi, unsigned* bl, u32* bd) {
       if (!ext_) {
-        mf.best_match(pi, end, bl, bd);
+        hc_->best_match(pi, end, bl, bd);
         return;
       }
       *bl = 0;
@@ -1278,7 +1340,7 @@ class Encoder {
 
     size_t i = start;
     while (i < end) {
-      const u32 pos = (u32)(i - dic_start);
+      const u32 pos = (u32)(i - dic_start) + pos_base_;
       const u32 pos_state = pos & pb_mask;
 
       unsigned best_len;
@@ -1414,7 +1476,7 @@ class Encoder {
     }
 
     if (end_mark) {
-      const u32 pos_state = (u32)(end - dic_start) & pb_mask;
+      const u32 pos_state = ((u32)(end - dic_start) + pos_base_) & pb_mask;
       rc.encode_bit(&probs_[IS_MATCH + (state << kPosBitsMax) + pos_state], 1);
       rc.encode_bit(&probs_[IS_REP + state], 0);
       encode_len(rc, LEN_CODER, pos_state, kMatchMinLen);
@@ -1486,6 +1548,31 @@ class Encoder {
   std::unique_ptr<BtMatchFinder> bt_;
   const u8* bt_data_ = nullptr;
   size_t bt_next_ = 0;
+  // persistent hash-chain finder (fast parse), same lifecycle
+  std::unique_ptr<MatchFinder> hc_;
+  const u8* hc_data_ = nullptr;
+  size_t hc_next_ = 0;
+  // streaming mode: finder tables sized for a sliding window of stream_cap_
+  // bytes; pos_base_ = stream position of window byte `dic_start` (position
+  // context must track the STREAM offset, not the window offset)
+  size_t stream_cap_ = 0;
+  u32 pos_base_ = 0;
+
+ public:
+  void set_stream_cap(size_t cap) { stream_cap_ = cap; }
+  void set_pos_base(u32 b) { pos_base_ = b; }
+
+  // slide the window by `delta` bytes (caller memmoves the data buffer)
+  void slide_window(size_t delta) {
+    if (hc_) {
+      hc_->slide(delta);
+      hc_next_ -= delta;
+    }
+    if (bt_) {
+      bt_->slide(delta);
+      bt_next_ -= delta;
+    }
+  }
 };
 
 // ==========================================================================
@@ -1725,6 +1812,192 @@ int lzt_lzma2_encode_ext(const uint8_t* src, size_t n, uint8_t* dst,
                          const int32_t* ext, int ext_k) {
   return lzma2_encode_impl(src, n, dst, dst_len, dict_size, chunk_size,
                            parallel, lc, lp, pb, effort, prop_out, ext, ext_k);
+}
+
+// ---------------------------------------------------------------------------
+// Streaming LZMA2 encoder: bounded-memory sliding window.  The reference
+// streams through LzmaEnc_Encode2's <=32KB block loop (LzmaEnc.c:2154-2184)
+// over a window with refill+MoveBlock (LzFind.c:57-121); here the window is
+// a fixed-capacity buffer of dict + dict/2 + slack bytes, slid with finder
+// position rebasing (the LzFind.c:285-320 normalization analog), so memory
+// stays O(dict) for arbitrarily long inputs.
+// ---------------------------------------------------------------------------
+
+namespace lzt {
+
+class StreamEnc {
+ public:
+  static constexpr size_t kSub = 48u << 10;   // packed must stay < 64 KB
+
+  StreamEnc(u32 dict_size, int lc, int lp, int pb, int effort)
+      : opt_(effort >= 10),
+        props_byte_((u8)((pb * 5 + lp) * 9 + lc)) {
+    // streaming dict cap 1 GB (the reference encoder's 64-bit max,
+    // LzmaEnc.c:397-398) — keeps the 1.5x window arithmetic in range
+    if (dict_size > (1u << 30)) dict_size = 1u << 30;
+    // smallest LZMA2 prop covering dict_size (Lzma2Enc_WriteProperties)
+    prop_ = 40;
+    for (int k = 0; k < 40; k++) {
+      if (((u64)(2 | (k & 1)) << (k / 2 + 11)) >= dict_size) {
+        prop_ = k;
+        break;
+      }
+    }
+    real_dict_ = prop_ == 40 ? 0xFFFFFFFFu
+                             : ((u32)(2 | (prop_ & 1)) << (prop_ / 2 + 11));
+    enc_.reset(new Encoder(lc, lp, pb, real_dict_,
+                           opt_ ? (effort >= 11 ? 128 : 48) : 48,
+                           opt_ ? (effort >= 11 ? 273 : 64) : 64));
+    // window: full dict history + dict/2 slide slack + lookahead margin
+    cap_ = (size_t)real_dict_ + (size_t)real_dict_ / 2 + 4 * kSub + 1024;
+    buf_.reserve(cap_);
+    enc_->set_stream_cap(cap_);
+    enc_->reset_state();
+  }
+
+  int prop() const { return prop_; }
+
+  void feed(const u8* p, size_t n) {
+    while (n) {
+      const size_t room = cap_ - buf_.size();
+      const size_t take = n < room ? n : room;
+      buf_.insert(buf_.end(), p, p + take);
+      p += take;
+      n -= take;
+      // keep a lookahead margin unencoded so sub-chunk-boundary match
+      // decisions see up to kMatchMaxLen bytes ahead
+      while (buf_.size() - local_pos() >= kSub + kMatchMaxLen)
+        encode_sub(kSub);
+      slide_if_needed();
+    }
+  }
+
+  void finish() {
+    while (local_pos() < buf_.size())
+      encode_sub(kSub);
+    out_.push_back(0);  // EOS
+  }
+
+  size_t drain(u8* dst, size_t cap) {
+    const size_t n = out_.size() - drained_ < cap ? out_.size() - drained_
+                                                  : cap;
+    std::memcpy(dst, out_.data() + drained_, n);
+    drained_ += n;
+    if (drained_ == out_.size()) {
+      out_.clear();
+      drained_ = 0;
+    }
+    return n;
+  }
+
+  size_t pending() const { return out_.size() - drained_; }
+
+ private:
+  size_t local_pos() const { return (size_t)(pos_ - base_); }
+
+  void encode_sub(size_t want) {
+    const size_t lo = local_pos();
+    const size_t avail = buf_.size() - lo;
+    const size_t len = want < avail ? want : avail;
+    if (!len) return;
+    // position of window byte i is base_ + i; LZMA position context wraps
+    // mod 2^32 exactly like the reference's UInt32 positions
+    enc_->set_pos_base((u32)base_);
+    auto snap = enc_->save();
+    auto body = opt_
+        ? enc_->encode_segment_opt(buf_.data(), buf_.size(), lo, lo + len,
+                                   0, false)
+        : enc_->encode_segment(buf_.data(), buf_.size(), lo, lo + len,
+                               0, false);
+    const size_t lim = len < (1u << 16) ? len : (1u << 16);
+    if (body.size() < lim) {
+      const int mode = first_ ? 3 : (need_reset_ ? (props_sent_ ? 1 : 2)
+                                                 : 0);
+      props_sent_ = true;
+      const u32 u = (u32)len - 1;
+      out_.push_back((u8)(0x80 | (mode << 5) | (u >> 16)));
+      out_.push_back((u8)(u >> 8));
+      out_.push_back((u8)u);
+      out_.push_back((u8)((body.size() - 1) >> 8));
+      out_.push_back((u8)(body.size() - 1));
+      if (mode >= 2) out_.push_back(props_byte_);
+      out_.insert(out_.end(), body.begin(), body.end());
+      need_reset_ = false;
+    } else {
+      enc_->restore(snap);
+      size_t cpos = lo;
+      while (cpos < lo + len) {
+        const size_t cend = cpos + (1u << 16) < lo + len ? cpos + (1u << 16)
+                                                         : lo + len;
+        out_.push_back(first_ ? 1 : 2);
+        out_.push_back((u8)((cend - cpos - 1) >> 8));
+        out_.push_back((u8)(cend - cpos - 1));
+        out_.insert(out_.end(), buf_.data() + cpos, buf_.data() + cend);
+        first_ = false;
+        cpos = cend;
+      }
+      need_reset_ = true;
+    }
+    first_ = false;
+    pos_ += len;
+  }
+
+  void slide_if_needed() {
+    const size_t lo = local_pos();
+    if (lo <= (size_t)real_dict_ + (size_t)real_dict_ / 2) return;
+    const size_t delta = lo - real_dict_;   // keep exactly one dict of
+    std::memmove(buf_.data(), buf_.data() + delta,   // history before pos
+                 buf_.size() - delta);
+    buf_.resize(buf_.size() - delta);
+    enc_->slide_window(delta);
+    base_ += delta;
+  }
+
+  bool opt_;
+  u8 props_byte_;
+  int prop_ = 40;
+  u32 real_dict_ = 0;
+  size_t cap_ = 0;
+  std::unique_ptr<Encoder> enc_;
+  std::vector<u8> buf_;      // window: [base_, base_ + buf_.size()) of stream
+  u64 base_ = 0;             // stream offset of buf_[0]
+  u64 pos_ = 0;              // stream offset of next byte to encode
+  std::vector<u8> out_;
+  size_t drained_ = 0;
+  bool first_ = true;
+  bool props_sent_ = false;
+  bool need_reset_ = true;
+};
+
+}  // namespace lzt
+
+void* lzt_stream_enc_new(uint32_t dict_size, int lc, int lp, int pb,
+                         int effort, int* prop_out) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
+    return nullptr;
+  auto* h = new lzt::StreamEnc(dict_size, lc, lp, pb, effort);
+  *prop_out = h->prop();
+  return h;
+}
+
+void lzt_stream_enc_feed(void* h, const uint8_t* p, size_t n) {
+  static_cast<lzt::StreamEnc*>(h)->feed(p, n);
+}
+
+void lzt_stream_enc_finish(void* h) {
+  static_cast<lzt::StreamEnc*>(h)->finish();
+}
+
+size_t lzt_stream_enc_pending(void* h) {
+  return static_cast<lzt::StreamEnc*>(h)->pending();
+}
+
+size_t lzt_stream_enc_drain(void* h, uint8_t* dst, size_t cap) {
+  return static_cast<lzt::StreamEnc*>(h)->drain(dst, cap);
+}
+
+void lzt_stream_enc_free(void* h) {
+  delete static_cast<lzt::StreamEnc*>(h);
 }
 
 // Decode a raw LZMA2 stream (no leading prop byte in src).

@@ -100,3 +100,20 @@ def test_truncated_raises(corpus):
 def test_bad_control_byte():
     with pytest.raises(DataError):
         framing.scan(bytes([0x7F, 0, 0]))
+
+
+def test_decode_progress_and_abort(corpus):
+    from lzma_sdk_zliblike_tpu import api
+    from lzma_sdk_zliblike_tpu.utils.errors import ProgressAborted
+    import pytest as _pytest
+    data = (corpus["text"] + corpus["code"])[:200_000]
+    stream, prop = api.lzma2_compress(data, dict_size=1 << 15,
+                                      chunk_size=1 << 15)
+    calls = []
+    out = api.lzma2_uncompress(stream, prop, threads=2,
+                               progress=lambda a, b: calls.append((a, b)))
+    assert out == data
+    assert calls and calls[-1][1] == len(data)
+    with _pytest.raises(ProgressAborted):
+        api.lzma2_uncompress(stream, prop, threads=2,
+                             progress=lambda a, b: False)

@@ -120,3 +120,20 @@ def test_substream_crcs_multifile_folder(files):
     ar = SZ.parse(img)
     nonempty = [f for f in ar.files if f.has_stream]
     assert all(f.crc is not None for f in nonempty)
+
+
+def test_mtime_roundtrip_and_apply(tmp_path, files):
+    # writer emits the kMTime vector; reader parses it; extraction applies
+    # it to the output files (7zMain.c:438-475 parity)
+    ticks = (11644473600 + 1_600_000_000) * 10**7   # 2020-09-13 UTC
+    img = SZ.write(files, mtimes={"docs/readme.txt": ticks})
+    ar = SZ.parse(img)
+    got = {f.name: f.mtime for f in ar.files}
+    assert got["docs/readme.txt"] == ticks
+    assert got["src/main.c"] is None
+    p = tmp_path / "t.7z"
+    p.write_bytes(img)
+    out = tmp_path / "out"
+    extract7z.extract_streaming(str(p), str(out))
+    st = os.stat(out / "docs/readme.txt")
+    assert abs(st.st_mtime - 1_600_000_000) < 2
