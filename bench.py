@@ -8,14 +8,26 @@ reference SDK itself (build/oracle_driver lzma2e — BT4+optimal parse,
 16 MB dict prop) exactly as the reference MtCoder would (one dict-reset
 group per block, Lzma2Enc.c:223-233).  baseline = the reference decoding
 that same stream single-core on this host (per BASELINE.md the measured
-local number is the baseline).  The device path is the Pallas group kernel
-via the batched scheduler (HBM-resident dictionary, v8); the host path is
-the block-parallel native decoder (MtCoder equivalent).  The better engine
-is the headline metric; both engines' numbers are always reported.
+local number is the baseline).
 
-Env knobs: LZT_BENCH_MB (corpus MB, default 32), LZT_BENCH_LANES (default
-32), LZT_BENCH_BLOCK (group bytes, default 1MB), LZT_BENCH_TIMEOUT
-(seconds, default 1500), LZT_BENCH_REPS (default 3).
+Engines measured, all bit-exact against the corpus:
+  host_mt — block-parallel native decoder on all host cores (MtCoder
+            equivalent, parallel/host_pool.py)
+  tpu     — the Pallas group kernel via the batched scheduler (HBM-resident
+            dictionary), end-to-end including D2H.  NOTE: on the tunneled
+            dev chip D2H tops out ~25 MB/s (measured; PCIe on a real host
+            is ~100x that), so the e2e tpu number here is transfer-bound,
+            not compute-bound; tpu_compute_mbs reports the kernel-only
+            rate from its iteration counters.
+  hybrid  — parallel/hybrid.py: host workers and the device feeder drain
+            one group queue concurrently (the framework's full-machine
+            decode path).
+
+The headline metric is the best engine; every engine's number is reported.
+
+Env knobs: LZT_BENCH_MB (corpus MB, default 128), LZT_BENCH_LANES (device
+batch lanes, default 32), LZT_BENCH_BLOCK (group bytes, default 1MB),
+LZT_BENCH_TIMEOUT (seconds, default 1400), LZT_BENCH_REPS (default 3).
 """
 
 import json
@@ -27,8 +39,6 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(REPO, "build", "jax_cache"))
 
 
 def log(*a):
@@ -69,11 +79,11 @@ def oracle_stream(data: bytes, block: int, cache_key: str) -> bytes:
 
 
 def main() -> int:
-    mb = int(os.environ.get("LZT_BENCH_MB", "32"))
+    mb = int(os.environ.get("LZT_BENCH_MB", "128"))
     lanes = int(os.environ.get("LZT_BENCH_LANES", "32"))
     block = int(os.environ.get("LZT_BENCH_BLOCK", str(1 << 20)))
     reps = int(os.environ.get("LZT_BENCH_REPS", "3"))
-    timeout_s = int(os.environ.get("LZT_BENCH_TIMEOUT", "1500"))
+    timeout_s = int(os.environ.get("LZT_BENCH_TIMEOUT", "1400"))
 
     from tests.corpus import big_mixed
     from lzma_sdk_zliblike_tpu.models.lzma2 import framing
@@ -96,16 +106,19 @@ def main() -> int:
     out = os.path.join(d, "s.out")
     with open(enc, "wb") as f:
         f.write(bytes([prop]) + stream)
-    t = time.time()
-    subprocess.run([oracle, "lzma2d", enc, out], check=True,
-                   capture_output=True)
-    baseline = len(data) / (time.time() - t) / 1e6
+    baseline = 0.0
+    for _ in range(2):
+        t = time.time()
+        subprocess.run([oracle, "lzma2d", enc, out], check=True,
+                       capture_output=True)
+        baseline = max(baseline, len(data) / (time.time() - t) / 1e6)
     assert open(out, "rb").read() == data
     log(f"oracle single-core decode baseline: {baseline:.1f} MB/s")
 
     result = {"metric": "lzma2_decode", "value": 0.0, "unit": "MB/s",
               "vs_baseline": 0.0, "oracle_mbs": round(baseline, 2),
-              "host_mbs": 0.0, "tpu_mbs": 0.0,
+              "host_mbs": 0.0, "tpu_mbs": 0.0, "tpu_compute_mbs": 0.0,
+              "hybrid_mbs": 0.0,
               "corpus_mb": mb, "group_mb": block >> 20}
 
     def finish(value, tag):
@@ -122,18 +135,22 @@ def main() -> int:
         outb = decode_lzma2_mt(stream, prop)
         host_mbs = max(host_mbs, len(data) / (time.time() - t0) / 1e6)
     assert outb == data
+    del outb
     result["host_mbs"] = round(host_mbs, 2)
     log(f"host MT decode: {host_mbs:.1f} MB/s")
 
-    # device lane-parallel path under a watchdog (remote compiles can queue)
+    # device + hybrid under a watchdog (remote compiles can queue)
     def on_timeout(_sig, _frm):
-        log("device path timed out; reporting host number")
-        finish(host_mbs, "host_mt")
+        log("device path timed out; reporting best host/device number")
+        best = max(host_mbs, result["tpu_mbs"], result["hybrid_mbs"])
+        tag = ("hybrid" if best == result["hybrid_mbs"] else
+               "tpu" if best == result["tpu_mbs"] else "host_mt")
+        finish(best, tag)
         os._exit(0)
 
     signal.signal(signal.SIGALRM, on_timeout)
     signal.alarm(timeout_s)
-    tpu_mbs = 0.0
+    tpu_mbs = hybrid_mbs = 0.0
     try:
         from lzma_sdk_zliblike_tpu.parallel.scheduler import (
             BatchedLzma2Decoder, BatchShape)
@@ -146,24 +163,62 @@ def main() -> int:
         warm = dec.decode(stream, prop)
         ok = warm == data
         log(f"device warmup: {time.time()-t:.1f}s bit-exact={ok}")
+        del warm
         if ok:
             for _ in range(reps):
                 t = time.time()
                 outd = dec.decode(stream, prop)
                 tpu_mbs = max(tpu_mbs, len(data) / (time.time() - t) / 1e6)
             assert outd == data
+            del outd
+            result["tpu_mbs"] = round(tpu_mbs, 2)
+            log(f"device decode (e2e incl D2H): {tpu_mbs:.2f} MB/s")
+            # kernel-only rate from the iteration counters of one batch
+            try:
+                result["tpu_compute_mbs"] = round(
+                    _compute_rate(stream, groups, shape), 2)
+                log(f"device compute-only: {result['tpu_compute_mbs']} MB/s")
+            except Exception as e:  # noqa: BLE001
+                log(f"compute-rate probe failed: {e!r}")
+            # hybrid: host workers + device feeder on one queue
+            from lzma_sdk_zliblike_tpu.parallel.hybrid import (
+                decode_lzma2_hybrid)
+            for _ in range(reps):
+                t = time.time()
+                outh = decode_lzma2_hybrid(stream, prop, shape=shape)
+                hybrid_mbs = max(hybrid_mbs,
+                                 len(data) / (time.time() - t) / 1e6)
+            assert outh == data
+            del outh
+            result["hybrid_mbs"] = round(hybrid_mbs, 2)
+            log(f"hybrid decode: {hybrid_mbs:.2f} MB/s")
         signal.alarm(0)
-        log(f"device decode: {tpu_mbs:.2f} MB/s")
     except Exception as e:  # device path must never sink the bench
         signal.alarm(0)
         log(f"device path failed: {e!r}")
-        tpu_mbs = 0.0
-    result["tpu_mbs"] = round(tpu_mbs, 2)
-    if tpu_mbs > host_mbs:
-        finish(tpu_mbs, "tpu")
-    else:
-        finish(host_mbs, "host_mt")
+    best = max(host_mbs, tpu_mbs, hybrid_mbs)
+    tag = ("hybrid" if best == hybrid_mbs and hybrid_mbs > 0 else
+           "tpu" if best == tpu_mbs and tpu_mbs > 0 else "host_mt")
+    finish(best, tag)
     return 0
+
+
+def _compute_rate(stream, groups, shape):
+    """Kernel-only MB/s from one batch's device iteration counters."""
+    import numpy as np
+    from lzma_sdk_zliblike_tpu.parallel.scheduler import BatchedLzma2Decoder
+
+    dec = BatchedLzma2Decoder(shape, engine="pallas")
+    lane_groups = [g for g in groups if dec._eligible(g)][:shape.n_lanes]
+    handle = dec._submit_batch_pallas(stream, lane_groups)
+    np.asarray(handle[1])  # sync
+    t = time.time()
+    handle = dec._submit_batch_pallas(stream, lane_groups)
+    status = np.asarray(handle[1])
+    dt = time.time() - t
+    unpack = sum(sum(c.unpack_size for c in g) for g in lane_groups)
+    assert (status[0, :len(lane_groups), 0] != 0).all()
+    return unpack / dt / 1e6
 
 
 if __name__ == "__main__":

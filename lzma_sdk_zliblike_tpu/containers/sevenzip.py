@@ -590,17 +590,21 @@ def _run_coder(coder: Coder, ins: list[bytes], out_size: int,
             raise DataError("LZMA2 folder size mismatch")
         return out
     if m == M_PPMD:
-        # size-gated like the reference's _7ZIP_PPMD_SUPPPORT compile gate
-        # (7zDec.c:6,15): the PPMd codec here is the host reference
-        # implementation (~50 KB/s) — a large PPMd folder would look like
-        # a hang, so folders beyond the cap need an explicit opt-in.
-        cap = int(os.environ.get("LZT_PPMD_MAX_BYTES", str(4 << 20)))
-        if out_size > cap:
-            raise UnsupportedError(
-                f"PPMd folder of {out_size} bytes exceeds the "
-                f"LZT_PPMD_MAX_BYTES gate ({cap}); raise it to decode "
-                "with the (slow) host PPMd7 codec")
+        from .. import native
         from ..models.ppmd7 import codec as ppmd
+        if not native.ppmd7_available():
+            # size-gated like the reference's _7ZIP_PPMD_SUPPPORT compile
+            # gate (7zDec.c:6,15): without the native port the fallback is
+            # the host reference implementation (~50 KB/s) — a large PPMd
+            # folder would look like a hang, so folders beyond the cap
+            # need an explicit opt-in.  With the native codec
+            # (native/lzt_ppmd7.cc, ~5-10 MB/s) no gate is needed.
+            cap = int(os.environ.get("LZT_PPMD_MAX_BYTES", str(4 << 20)))
+            if out_size > cap:
+                raise UnsupportedError(
+                    f"PPMd folder of {out_size} bytes exceeds the "
+                    f"LZT_PPMD_MAX_BYTES gate ({cap}); raise it to decode "
+                    "with the (slow) host PPMd7 codec")
         return ppmd.decode(ins[0], coder.props, out_size)
     if m == M_BCJ:
         return FLT.x86_convert(ins[0][:out_size], 0, False)[0]

@@ -953,12 +953,24 @@ def _encode_symbol(p: Ppmd7, rc: _RangeEnc, symbol: int) -> None:
 # public API
 # ---------------------------------------------------------------------------
 
-def decode(src: bytes, props: bytes, out_size: int) -> bytes:
-    """Decode a PPMd7 stream (7z method 0x030401 payload)."""
+def decode(src: bytes, props: bytes, out_size: int, *,
+           engine: str = "auto") -> bytes:
+    """Decode a PPMd7 stream (7z method 0x030401 payload).
+
+    engine="auto" uses the native port (``native/lzt_ppmd7.cc``,
+    byte-identical, ~150x faster) when the library is built; "python"
+    forces this reference implementation.
+    """
     if len(props) != 5:
         raise ParamError("ppmd props must be 5 bytes")
     order = props[0]
     mem = int.from_bytes(props[1:5], "little")
+    if not MIN_ORDER <= order <= MAX_ORDER or not MIN_MEM <= mem <= MAX_MEM:
+        raise ParamError(f"ppmd props order={order} mem={mem}")
+    if engine == "auto":
+        from ... import native
+        if native.ppmd7_available():
+            return native.ppmd7_decode(src, props, out_size)
     p = Ppmd7(order, mem)
     rc = _RangeDec(src)
     if not rc.init():
@@ -974,12 +986,17 @@ def decode(src: bytes, props: bytes, out_size: int) -> bytes:
     return bytes(out)
 
 
-def encode(data: bytes, order: int = 6, mem_size: int = 1 << 24) -> tuple[bytes, bytes]:
+def encode(data: bytes, order: int = 6, mem_size: int = 1 << 24, *,
+           engine: str = "auto") -> tuple[bytes, bytes]:
     """Encode with PPMd7; returns (stream, props)."""
+    props = bytes([order]) + mem_size.to_bytes(4, "little")
+    if engine == "auto":
+        from ... import native
+        if native.ppmd7_available():
+            return native.ppmd7_encode(data, order, mem_size), props
     p = Ppmd7(order, mem_size)
     rc = _RangeEnc()
     for b in data:
         _encode_symbol(p, rc, b)
     rc.flush()
-    props = bytes([order]) + mem_size.to_bytes(4, "little")
     return bytes(rc.out), props

@@ -95,6 +95,19 @@ def _bind(lib: ctypes.CDLL) -> None:
             ctypes.c_int, ctypes.POINTER(ctypes.c_int),      # effort prop
             ctypes.POINTER(ctypes.c_int32), ctypes.c_int,    # ext, ext_k
         ]
+    if hasattr(lib, "lzt_ppmd7_decode"):
+        lib.lzt_ppmd7_decode.restype = ctypes.c_int
+        lib.lzt_ppmd7_decode.argtypes = [
+            u8p, ctypes.c_size_t,                 # src
+            u8p,                                  # props (5 bytes)
+            u8p, ctypes.c_size_t,                 # dst, out_size
+        ]
+        lib.lzt_ppmd7_encode.restype = ctypes.c_int
+        lib.lzt_ppmd7_encode.argtypes = [
+            u8p, ctypes.c_size_t,                 # data
+            ctypes.c_int, ctypes.c_uint32,        # order, mem_size
+            u8p, ctypes.POINTER(ctypes.c_size_t),  # out, inout out_len
+        ]
     if hasattr(lib, "lzt_stream_enc_new"):
         lib.lzt_stream_enc_new.restype = ctypes.c_void_p
         lib.lzt_stream_enc_new.argtypes = [
@@ -222,6 +235,50 @@ def lzma2_decode(stream: bytes, prop: int,
             continue
         raise_for_sres(r)
         return dst.raw[:n.value]
+
+
+def ppmd7_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "lzt_ppmd7_decode")
+
+
+def ppmd7_decode(src: bytes, props: bytes, out_size: int) -> bytes:
+    """Native PPMd7 decode (7z method 0x030401); byte-identical to
+    ``models.ppmd7.codec`` (see ``native/lzt_ppmd7.cc``)."""
+    from .utils.errors import DataError, ParamError
+
+    lib = _load()
+    dst = ctypes.create_string_buffer(max(out_size, 1))
+    r = lib.lzt_ppmd7_decode(_as_u8p(src), len(src), _as_u8p(props),
+                             ctypes.cast(dst, ctypes.POINTER(ctypes.c_uint8)),
+                             out_size)
+    if r == -4:
+        raise ParamError("ppmd props")
+    if r != 0:
+        raise DataError(f"ppmd decode error {r}")
+    return dst.raw[:out_size]
+
+
+def ppmd7_encode(data: bytes, order: int, mem_size: int) -> bytes:
+    from .utils.errors import DataError, ParamError
+
+    lib = _load()
+    cap = max(1024, len(data) + (len(data) >> 1) + 1024)
+    while True:
+        out = ctypes.create_string_buffer(cap)
+        n = ctypes.c_size_t(cap)
+        r = lib.lzt_ppmd7_encode(_as_u8p(data), len(data), order, mem_size,
+                                 ctypes.cast(out,
+                                             ctypes.POINTER(ctypes.c_uint8)),
+                                 ctypes.byref(n))
+        if r == -90:
+            cap = n.value
+            continue
+        if r == -4:
+            raise ParamError("ppmd params")
+        if r != 0:
+            raise DataError(f"ppmd encode error {r}")
+        return out.raw[:n.value]
 
 
 def crc32(data: bytes, value: int = 0) -> int:

@@ -78,6 +78,7 @@ copy chunks fall back to the host engine (rare).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -97,6 +98,17 @@ IN_PAGE_BYTES = 512      # staged input page: 128 LE words
 RING = 64                # VMEM ring cache: last 64 flushed word pages
                          # (32 KB of recent dictionary) per stream; older
                          # pages are DMA'd back from the HBM output buffer
+
+
+def _ring(n_streams: int) -> int:
+    """Ring pages per stream: 64 up to 64 lanes; 32 at 128+ lanes (the
+    fam tables + ring must fit the 16 MB VMEM together)."""
+    return RING if n_streams <= 64 else 32
+
+def _bitc(s: int):
+    """int32 constant with bit (s % 32) set (bit 31 wraps to the sign bit)."""
+    return np.int32(np.uint32(1 << (s % 32)))
+
 
 # packed per-stream state: lane index in the st register
 ST_OUTPOS = 0
@@ -130,8 +142,7 @@ def _family_layout(lc: int, lp: int):
         ("is_rep_g1", S.NUM_STATES),
         ("is_rep_g2", S.NUM_STATES),
         ("is_rep0_long", S.NUM_STATES << S.NUM_POS_BITS_MAX),
-        ("spec_pos", S.NUM_SPEC_POS),
-        ("align", S.ALIGN_TABLE_SIZE),
+        ("spec_align", S.NUM_SPEC_POS + S.ALIGN_TABLE_SIZE),
         ("len_choice", 2 * 2),
     ]
     for k in range(S.NUM_POS_SLOT_BITS):
@@ -155,9 +166,27 @@ def _family_layout(lc: int, lp: int):
 # kernel
 # ---------------------------------------------------------------------------
 
+    # dev-only ablation knobs (timing probes; results are wrong when set):
+    # LZT_ABLATE=phase,phase,...  with phases in {lit, copy, stage, bits,
+    # events}; LZT_ABLATE_ITERS=N forces exactly N iterations per chunk
+    # round regardless of decode state (uniform work for A/B timing)
+
+
+def _ablate_env() -> str:
+    """Ablation spec (jit-static): "phase,phase,...[@iters]" from env."""
+    spec = os.environ.get("LZT_ABLATE", "")
+    it = os.environ.get("LZT_ABLATE_ITERS", "")
+    return f"{spec}@{it}" if it else spec
+
+
 def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
-                 lc: int, lp: int, pb: int, max_iters: int, n_chunks: int):
+                 lc: int, lp: int, pb: int, max_iters: int, n_chunks: int,
+                 ablate_spec: str = ""):
     layout, tot_pages = _family_layout(lc, lp)
+    spec, _, it_s = ablate_spec.partition("@")
+    ablate = set(filter(None, spec.split(",")))
+    fixed_iters = int(it_s or "0")
+    ring = _ring(n_streams)
     n = n_streams
     # staging words pack page indices into bit fields: input 512B pages get
     # 14 bits (8 MB packed per group), output word pages 15 bits (16 MB
@@ -203,11 +232,15 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         for s in range(n):
             prev_ipg[s] = jnp.int32(0)
             tracked[s] = jnp.int32(0)
-            pend_dma[s] = jnp.int32(0)
-            needf[s] = jnp.int32(0)
-            needm[s] = jnp.int32(0)
-            needa[s] = jnp.int32(0)
-            needb[s] = jnp.int32(0)
+        for g in range(-(-n // 32)):
+            # pending-DMA flags: ONE bitmask word per 32 streams, so the
+            # every-iteration wait scans read ngr words instead of n flags
+            # (scalar SMEM reads per iteration are the staging floor)
+            pend_dma[g] = jnp.int32(0)
+            needf[g] = jnp.int32(0)
+            needm[g] = jnp.int32(0)
+            needa[g] = jnp.int32(0)
+            needb[g] = jnp.int32(0)
 
         def gat(tbl, idx):
             return jnp.take_along_axis(tbl, jnp.clip(idx, 0, PAGE - 1),
@@ -253,6 +286,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             pages.  DMA starts are issued for all streams first and waited
             in a second pass so the latencies overlap across streams.
             """
+            if "stage" in ablate:
+                return
             for g in range(ngr):
                 ew = x_ref[g, 2]
                 @pl.when(ew != 0)
@@ -270,11 +305,11 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 @pl.when(cu != tracked[s])
                 def _(cu=cu, s=s):
                     # flush the write window: ring slot (sync) + HBM (async)
-                    ring_ref[tracked[s] & (RING - 1), s, :] = w_ref[s, :]
+                    ring_ref[tracked[s] & (ring - 1), s, :] = w_ref[s, :]
                     pltpu.make_async_copy(w_ref.at[s],
                                           out_ref.at[tracked[s], s],
                                           fsem).start()
-                    needf[s] = jnp.int32(1)
+                    needf[s // 32] = needf[s // 32] | _bitc(s)
                     tracked[s] = cu
                 # input double-buffer: i1 always holds the NEXT page; the
                 # prefetch started here is waited in _stage_waits (which
@@ -287,19 +322,19 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                     cb = pltpu.make_async_copy(src_ref.at[i1p, s],
                                                i1_ref.at[s], dsem.at[s])
                     cb.start()
-                    pend_dma[s] = jnp.int32(1)
+                    pend_dma[s // 32] = pend_dma[s // 32] | _bitc(s)
                     prev_ipg[s] = pg_i
                 @pl.when((v >> 29) != 0)
                 def _(v=v, cu=cu, s=s):
                     mw = x_ref[s, 1]
-                    @pl.when(mw + RING >= cu)
+                    @pl.when(mw + ring >= cu)
                     def _(mw=mw, s=s):
-                        m_ref[s, :] = ring_ref[mw & (RING - 1), s, :]
-                    @pl.when(mw + RING < cu)
+                        m_ref[s, :] = ring_ref[mw & (ring - 1), s, :]
+                    @pl.when(mw + ring < cu)
                     def _(mw=mw, s=s):
                         pltpu.make_async_copy(out_ref.at[mw, s],
                                               m_ref.at[s], msem).start()
-                        needm[s] = jnp.int32(1)
+                        needm[s // 32] = needm[s // 32] | _bitc(s)
 
         def _stage_copy_one(s):
             v2 = x_ref[s, 0]
@@ -307,43 +342,49 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             cw_s = tracked[s]
             @pl.when(((v2 >> 28) & 1) != 0)
             def _(pg_a=pg_a, cw_s=cw_s, s=s):
-                @pl.when(pg_a + RING >= cw_s)
+                @pl.when(pg_a + ring >= cw_s)
                 def _(pg_a=pg_a, s=s):
-                    a_ref[s, :] = ring_ref[pg_a & (RING - 1), s, :]
-                @pl.when(pg_a + RING < cw_s)
+                    a_ref[s, :] = ring_ref[pg_a & (ring - 1), s, :]
+                @pl.when(pg_a + ring < cw_s)
                 def _(pg_a=pg_a, s=s):
                     pltpu.make_async_copy(out_ref.at[pg_a, s],
                                           a_ref.at[s], asem).start()
-                    needa[s] = jnp.int32(1)
+                    needa[s // 32] = needa[s // 32] | _bitc(s)
             @pl.when(((v2 >> 29) & 1) != 0)
             def _(pg_a=pg_a, cw_s=cw_s, s=s):
                 pg_b = jnp.minimum(pg_a + 1, out_pages4 - 1)
-                @pl.when(pg_b + RING >= cw_s)
+                @pl.when(pg_b + ring >= cw_s)
                 def _(pg_b=pg_b, s=s):
-                    b_ref[s, :] = ring_ref[pg_b & (RING - 1), s, :]
-                @pl.when(pg_b + RING < cw_s)
+                    b_ref[s, :] = ring_ref[pg_b & (ring - 1), s, :]
+                @pl.when(pg_b + ring < cw_s)
                 def _(pg_b=pg_b, s=s):
                     pltpu.make_async_copy(out_ref.at[pg_b, s],
                                           b_ref.at[s], bsem).start()
-                    needb[s] = jnp.int32(1)
+                    needb[s // 32] = needb[s // 32] | _bitc(s)
+
+        def _word_waits(flags, wait_one):
+            """Drain flagged per-stream DMA waits via ngr bitmask words.
+
+            The common case (no flags set) costs ONE scalar SMEM read per
+            32 streams per iteration instead of one per stream.
+            """
+            for g in range(-(-n // 32)):
+                wd = flags[g]
+                @pl.when(wd != 0)
+                def _(wd=wd, g=g):
+                    for s in range(g * 32, min(n, g * 32 + 32)):
+                        @pl.when(((wd >> (s - g * 32)) & 1) != 0)
+                        def _(s=s):
+                            wait_one(s)
+                    flags[g] = jnp.int32(0)
 
         def _stage_waits():
-            for s in range(n):
-                @pl.when(pend_dma[s] != 0)
-                def _(s=s):
-                    pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
-                                          dsem.at[s]).wait()
-                    pend_dma[s] = jnp.int32(0)
-                @pl.when(needf[s] != 0)
-                def _(s=s):
-                    pltpu.make_async_copy(w_ref.at[s], out_ref.at[0, s],
-                                          fsem).wait()
-                    needf[s] = jnp.int32(0)
-                @pl.when(needm[s] != 0)
-                def _(s=s):
-                    pltpu.make_async_copy(out_ref.at[0, s], m_ref.at[s],
-                                          msem).wait()
-                    needm[s] = jnp.int32(0)
+            _word_waits(pend_dma, lambda s: pltpu.make_async_copy(
+                src_ref.at[0, s], i1_ref.at[s], dsem.at[s]).wait())
+            _word_waits(needf, lambda s: pltpu.make_async_copy(
+                w_ref.at[s], out_ref.at[0, s], fsem).wait())
+            _word_waits(needm, lambda s: pltpu.make_async_copy(
+                out_ref.at[0, s], m_ref.at[s], msem).wait())
 
         CHECK_EVERY = 64  # busy-check period (power of two)
 
@@ -410,7 +451,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                             | (cur_w != getv(st, ST_PCW)) | need_m, 1, 0)
             st = setv(st, ST_PIPG, ipg)
             st = setv(st, ST_PCW, cur_w)
-            erows = _pack_events(evt)
+            erows = zero if "events" in ablate else _pack_events(evt)
             x_ref[:] = jnp.where(lane_i == 0, packed,
                                  jnp.where(lane_i == 1, m_w,
                                            jnp.where(lane_i == 2, erows, 0)))
@@ -429,38 +470,62 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 inpos = jnp.where(need, inpos + 1, inpos)
                 return (rng, code, inpos)
 
-            def bit(rc, fam, idx, do):
-                """Masked adaptive bit decode vs family `fam` at `idx`."""
-                base, width, npg = layout[fam]
+            def bit_multi(rc, parts):
+                """ONE adaptive bit decode serving several families at once.
+
+                ``parts`` is a list of ``(fam, idx, mask)`` with pairwise
+                disjoint masks: a lane decodes against the family whose
+                mask covers it.  The renormalization and the bound/compare/
+                update arithmetic are shared across parts (that is the
+                saving — fusing lane-exclusive calls halves the per-call
+                vector overhead); only the per-family page gathers/stores
+                stay per part.
+                """
+                if "bits" in ablate:
+                    return rc, zero
+                do = parts[0][2]
+                for _, _, mk in parts[1:]:
+                    do = do | mk
                 rng, code, inpos = renorm(rc, do)
-                idx = jnp.clip(idx, 0, width - 1)
-                ln = idx & (PAGE - 1)
-                if npg == 1:
-                    p = gat(fam_ref[base], ln)
-                else:
+                p = zero
+                lns = []
+                for fam, idx, mask in parts:
+                    base, width, npg = layout[fam]
+                    idx = jnp.clip(idx, 0, width - 1)
+                    ln = idx & (PAGE - 1)
                     pg = idx >> 7
-                    p = zero
-                    for i in range(npg):
-                        g = gat(fam_ref[base + i], ln)
-                        p = jnp.where(pg == i, g, p)
+                    lns.append((base, npg, ln, pg, mask))
+                    if npg == 1:
+                        pp = gat(fam_ref[base], ln)
+                    else:
+                        pp = zero
+                        for i in range(npg):
+                            g = gat(fam_ref[base + i], ln)
+                            pp = jnp.where(pg == i, g, pp)
+                    p = pp if len(parts) == 1 else jnp.where(mask, pp, p)
                 bound = (rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
                 bit0 = code < bound
                 newp = jnp.where(
                     bit0,
                     p + ((S.RC_BIT_MODEL_TOTAL - p) >> S.RC_MOVE_BITS),
                     p - (p >> S.RC_MOVE_BITS))
-                oh = (lane_i == ln) & do
-                if npg == 1:
-                    fam_ref[base] = jnp.where(oh, newp, fam_ref[base])
-                else:
-                    for i in range(npg):
-                        fam_ref[base + i] = jnp.where(
-                            oh & (pg == i), newp, fam_ref[base + i])
+                for base, npg, ln, pg, mask in lns:
+                    oh = (lane_i == ln) & mask
+                    if npg == 1:
+                        fam_ref[base] = jnp.where(oh, newp, fam_ref[base])
+                    else:
+                        for i in range(npg):
+                            fam_ref[base + i] = jnp.where(
+                                oh & (pg == i), newp, fam_ref[base + i])
                 rng = jnp.where(do, jnp.where(bit0, bound, rng - bound), rng)
                 code = jnp.where(do, jnp.where(bit0, code, code - bound),
                                  code)
                 b = jnp.where(do & ~bit0, 1, 0)
                 return (rng, code, inpos), b
+
+            def bit(rc, fam, idx, do):
+                """Masked adaptive bit decode vs family `fam` at `idx`."""
+                return bit_multi(rc, [(fam, idx, do)])
 
             # ---- phase 1: packet decode ------------------------------------
             pos_state = outpos & pb_mask
@@ -482,46 +547,59 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             in_ms = state >= 7
             matched = is_lit & in_ms
             mb = jnp.where(in_ms, mb, 0)
+            # Literal tree bits are lane-exclusive with the entire match
+            # path, so each of the 8 literal levels FUSES with one match-
+            # side call (bit_multi): 8 renorm+ALU blocks serve both paths.
+            # The match-side schedule preserves its own sequential order:
+            # is_rep, g0, rep0_long, g1, g2, len_choice x2, lowmid_0, and
+            # the remaining len tree levels fuse lowmid_{1,2} with
+            # high_{0,1} (also lane-exclusive).
             sym = zero + 1
-            for k in range(8):
+            lit_on = "lit" not in ablate
+
+            def lit_part(k, sym, mb, matched):
                 mb = mb << 1
                 mbit = (mb >> 8) & 1
                 plane = jnp.where(matched, 1 + mbit, 0)
                 idx = (lit_state * 3 + plane) * (1 << k) + (sym - (1 << k))
-                rc, bl = bit(rc, f"lit_{k}", idx, is_lit)
-                sym = jnp.where(is_lit, (sym << 1) | bl, sym)
-                matched = matched & (bl == mbit)
-            lit_byte = sym & 0xFF
-            wl = outpos & (PAGE - 1)
-            lsh = ((outpos >> 7) & 3) << 3
-            wv0 = w_ref[:]
-            w_ref[:] = jnp.where(
-                is_lit & (lane_i == wl),
-                (wv0 & (((zero + 0xFF) << lsh) ^ -1)) | (lit_byte << lsh),
-                wv0)
-            outpos = jnp.where(is_lit, outpos + 1, outpos)
-            st = setv(st, ST_LAST,
-                      jnp.where(is_lit, lit_byte, getv(st, ST_LAST)))
-            lit_next = jnp.where(state < 4, 0,
-                                 jnp.where(state < 10, state - 3, state - 6))
-            state = jnp.where(is_lit, lit_next, state)
+                return idx, mb, mbit
 
-            # match family flags
-            rc, br = bit(rc, "is_rep", state, is_mat)
+            def lit_fold(k, b, sym, matched, mbit):
+                sym = jnp.where(is_lit, (sym << 1) | b, sym)
+                matched = matched & (b == mbit)
+                return sym, matched
+
+            def fused(rc, k, sym, mb, matched, mfam, midx, mmask):
+                """Decode lit level k fused with one match-side call."""
+                if lit_on:
+                    idx, mb, mbit = lit_part(k, sym, mb, matched)
+                    rc, b = bit_multi(rc, [(f"lit_{k}", idx, is_lit),
+                                           (mfam, midx, mmask)])
+                    sym, matched = lit_fold(k, b, sym, matched, mbit)
+                else:
+                    rc, b = bit(rc, mfam, midx, mmask)
+                return rc, b, sym, mb, matched
+
+            rc, br, sym, mb, matched = fused(
+                rc, 0, sym, mb, matched, "is_rep", state, is_mat)
             simple = is_mat & (br == 0)
             rep = is_mat & (br == 1)
 
-            rc, bg0 = bit(rc, "is_rep_g0", state, rep)
+            rc, bg0, sym, mb, matched = fused(
+                rc, 1, sym, mb, matched, "is_rep_g0", state, rep)
             rep_g0 = rep & (bg0 == 0)
-            rc, b0l = bit(rc, "is_rep0_long",
-                          (state << S.NUM_POS_BITS_MAX) + pos_state, rep_g0)
+            repg = rep & (bg0 == 1)
+            rc, b0l, sym, mb, matched = fused(
+                rc, 2, sym, mb, matched, "is_rep0_long",
+                (state << S.NUM_POS_BITS_MAX) + pos_state, rep_g0)
             shortrep = rep_g0 & (b0l == 0)
             longrep0 = rep_g0 & (b0l == 1)
-            repg = rep & (bg0 == 1)
-            rc, bg1 = bit(rc, "is_rep_g1", state, repg)
+            rc, bg1, sym, mb, matched = fused(
+                rc, 3, sym, mb, matched, "is_rep_g1", state, repg)
             use_r1 = repg & (bg1 == 0)
             repg2 = repg & (bg1 == 1)
-            rc, bg2 = bit(rc, "is_rep_g2", state, repg2)
+            rc, bg2, sym, mb, matched = fused(
+                rc, 4, sym, mb, matched, "is_rep_g2", state, repg2)
             use_r2 = repg2 & (bg2 == 0)
             use_r3 = repg2 & (bg2 == 1)
 
@@ -535,32 +613,62 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             rep2 = jnp.where(use_r2 | use_r3, rep1, rep2)
             rep1 = jnp.where(rot, rep0, rep1)
             rep0 = jnp.where(rot, dist_rep, rep0)
-            state = jnp.where(shortrep, jnp.where(state < 7, 9, 11), state)
 
             # length
             len_lanes = simple | longrep0 | rot
             coder = jnp.where(simple, 0, 1)
-            rc, c1 = bit(rc, "len_choice", coder * 2, len_lanes)
-            rc, c2 = bit(rc, "len_choice", coder * 2 + 1,
-                         len_lanes & (c1 == 1))
+            rc, c1, sym, mb, matched = fused(
+                rc, 5, sym, mb, matched, "len_choice", coder * 2, len_lanes)
+            rc, c2, sym, mb, matched = fused(
+                rc, 6, sym, mb, matched, "len_choice", coder * 2 + 1,
+                len_lanes & (c1 == 1))
             low = len_lanes & (c1 == 0)
             mid = len_lanes & (c1 == 1) & (c2 == 0)
             high = len_lanes & (c1 == 1) & (c2 == 1)
             lowmid = low | mid
             ismid = jnp.where(mid, 1, 0)
-            m = zero + 1
-            for k in range(S.LEN_LOW_BITS):
-                idx = (((coder * 2 + ismid) * S.POS_STATES_MAX + pos_state)
-                       * (1 << k)) + (m - (1 << k))
-                rc, blm = bit(rc, f"lowmid_{k}", idx, lowmid)
-                m = jnp.where(lowmid, (m << 1) | blm, m)
-            lm_sym = jnp.where(lowmid, m - S.LEN_LOW_SYMBOLS, 0)
-            m = zero + 1
-            for k in range(S.LEN_HIGH_BITS):
-                idx = coder * (1 << k) + (m - (1 << k))
+
+            def lowmid_idx(k, m):
+                return (((coder * 2 + ismid) * S.POS_STATES_MAX + pos_state)
+                        * (1 << k)) + (m - (1 << k))
+
+            mlm = zero + 1
+            rc, blm, sym, mb, matched = fused(
+                rc, 7, sym, mb, matched, "lowmid_0", lowmid_idx(0, mlm),
+                lowmid)
+            mlm = jnp.where(lowmid, (mlm << 1) | blm, mlm)
+
+            # literal done: commit byte/state (match lanes unaffected)
+            lit_byte = sym & 0xFF
+            wl = outpos & (PAGE - 1)
+            lsh = ((outpos >> 7) & 3) << 3
+            wv0 = w_ref[:]
+            w_ref[:] = jnp.where(
+                is_lit & (lane_i == wl),
+                (wv0 & (((zero + 0xFF) << lsh) ^ -1)) | (lit_byte << lsh),
+                wv0)
+            outpos = jnp.where(is_lit, outpos + 1, outpos)
+            st = setv(st, ST_LAST,
+                      jnp.where(is_lit, lit_byte, getv(st, ST_LAST)))
+            lit_next = jnp.where(state < 4, 0,
+                                 jnp.where(state < 10, state - 3, state - 6))
+            mhi = zero + 1
+            for k in range(2):   # lowmid_{1,2} fused with high_{0,1}
+                rc, bk = bit_multi(rc, [
+                    (f"lowmid_{k + 1}", lowmid_idx(k + 1, mlm), lowmid),
+                    (f"high_{k}", coder * (1 << k) + (mhi - (1 << k)),
+                     high)])
+                mlm = jnp.where(lowmid, (mlm << 1) | bk, mlm)
+                mhi = jnp.where(high, (mhi << 1) | bk, mhi)
+            for k in range(2, S.LEN_HIGH_BITS):
+                idx = coder * (1 << k) + (mhi - (1 << k))
                 rc, bh = bit(rc, f"high_{k}", idx, high)
-                m = jnp.where(high, (m << 1) | bh, m)
-            hi_sym = jnp.where(high, m - S.LEN_HIGH_SYMBOLS, 0)
+                mhi = jnp.where(high, (mhi << 1) | bh, mhi)
+            lm_sym = jnp.where(lowmid, mlm - S.LEN_LOW_SYMBOLS, 0)
+            hi_sym = jnp.where(high, mhi - S.LEN_HIGH_SYMBOLS, 0)
+            state = jnp.where(is_lit, lit_next,
+                              jnp.where(shortrep,
+                                        jnp.where(state < 7, 9, 11), state))
             length = jnp.where(
                 low, S.MATCH_MIN_LEN + lm_sym,
                 jnp.where(mid, S.MATCH_MIN_LEN + S.LEN_LOW_SYMBOLS + lm_sym,
@@ -591,21 +699,39 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
             # direct bits: static masked loop, trip count bounded by the
             # dictionary size (see module docstring) — a dynamic trip count
-            # from a vector reduce would stall the scalar core mid-body
+            # from a vector reduce would stall the scalar core mid-body.
+            # The loop body does NO input gathers: renormalization bytes
+            # come from a lookahead register pair prefetched here.  Each
+            # byte fetch buys 8 range halvings and the post-bit-decode
+            # range is > 2^17, so nmax halvings need at most
+            # 1 + ceil((nmax-1)/8) bytes.
             directs = big & (slot >= S.END_POS_MODEL_INDEX)
             ndirect = jnp.where(directs, nd - S.NUM_ALIGN_BITS, 0)
             (rng, code, inpos) = rc
+            nla = 1 + -(-max(nmax - 1, 0) // 8)
+
+            def fetch_byte(pos):
+                off = (pos >> 2) - (ipg << 7)
+                v = jnp.where(off < PAGE, gat(i0_ref[:], off),
+                              gat(i1_ref[:], off - PAGE)).astype(_U32)
+                return (v >> ((pos & 3) << 3).astype(_U32)) & 0xFF
+
+            la0 = zerou
+            la1 = zerou
+            for t in range(min(nla, 4)):
+                la0 = la0 | (fetch_byte(inpos + t) << (24 - 8 * t))
+            for t in range(4, nla):
+                la1 = la1 | (fetch_byte(inpos + t) << (24 - 8 * (t - 4)))
 
             def dbody(i, dc):
-                rng, code, inpos, dval = dc
+                rng, code, inpos, la0, la1, dval = dc
                 # ndirect > 0 exactly on `directs` lanes — avoids capturing
                 # a bool loop-invariant (Mosaic i8/i1 truncation limit)
                 act = i < ndirect
                 need = (rng < _TOP) & act
-                off = (inpos >> 2) - (ipg << 7)
-                v = jnp.where(off < PAGE, gat(i0_ref[:], off),
-                              gat(i1_ref[:], off - PAGE)).astype(_U32)
-                byt = (v >> ((inpos & 3) << 3).astype(_U32)) & 0xFF
+                byt = la0 >> 24
+                la0 = jnp.where(need, (la0 << 8) | (la1 >> 24), la0)
+                la1 = jnp.where(need, la1 << 8, la1)
                 code = jnp.where(need, (code << 8) | byt, code)
                 rng = jnp.where(need, rng << 8, rng)
                 inpos = jnp.where(need, inpos + 1, inpos)
@@ -615,26 +741,24 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 code = jnp.where(act, code2 + (rng & t), code)
                 dval = jnp.where(act, (dval << 1) + (t + 1).astype(_U32),
                                  dval)
-                return (rng, code, inpos, dval)
+                return (rng, code, inpos, la0, la1, dval)
 
-            (rng, code, inpos, dval) = jax.lax.fori_loop(
-                0, nmax, dbody, (rng, code, inpos, zerou))
+            (rng, code, inpos, la0, la1, dval) = jax.lax.fori_loop(
+                0, nmax, dbody, (rng, code, inpos, la0, la1, zerou))
             rc = (rng, code, inpos)
 
-            # reverse bit trees: spec-pos (≤5 bits) / align (4 bits)
+            # reverse bit trees: spec-pos (≤5 bits) and align (4 bits) are
+            # lane-exclusive (specs vs directs), so each level is ONE bit
+            # call against the merged spec_align family (align entries at
+            # offset NUM_SPEC_POS)
             m = zero + 1
             sym_r = zero
             for i in range(5):
                 act_s = specs & (i < nd)
                 act_a = directs & (i < S.NUM_ALIGN_BITS)
-                if i == 4:
-                    rc, bsp = bit(rc, "spec_pos", spec_base + m, act_s)
-                else:
-                    rc2, bsp_s = bit(rc, "spec_pos", spec_base + m, act_s)
-                    rc2, bsp_a = bit(rc2, "align", m, act_a)
-                    rc = rc2
-                    bsp = jnp.where(act_a, bsp_a, bsp_s)
-                act = act_s | (act_a if i < 4 else False)
+                act = act_s | act_a
+                idx = jnp.where(act_a, S.NUM_SPEC_POS + m, spec_base + m)
+                rc, bsp = bit(rc, "spec_align", idx, act)
                 m = jnp.where(act, (m << 1) | bsp, m)
                 sym_r = jnp.where(act, sym_r | (bsp << i), sym_r)
             dist = jnp.where(specs, dist + sym_r.astype(_U32), dist)
@@ -657,6 +781,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             bad = match_lanes & (rep0 + 1 > outpos.astype(_U32))
             overrun = match_lanes & (outpos + length > limit)
             err = err0 | marker | bad | overrun
+            if "noerr" in ablate:   # timing probes: keep garbage lanes alive
+                err = err0 & (zero != 0)
             okm = match_lanes & ~err
             pend_len = jnp.where(okm, length,
                                  jnp.where(shortrep & ~err, 1,
@@ -672,68 +798,80 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # destination is the packed word window: each of the 4 byte
             # slots gets its own masked source gather, so one iteration
             # moves up to 512 - (outpos & 511) bytes.
-            ac = active0 & ~err & (pend_len > 0)
-            d = jnp.maximum(pend_dist, 1)
-            wl512 = outpos & 511
-            step = jnp.where(ac, jnp.minimum(pend_len, 512 - wl512), 0)
-            base = jnp.maximum(outpos - d, 0)
-            spg = jnp.clip(base >> 9, 0, out_pages4 - 1)
-            spgn = jnp.minimum(spg + 1, out_pages4 - 1)
-            packed2 = (spg
-                       | jnp.where(ac & (spg != cur_w), 1 << 28, 0)
-                       | jnp.where(ac & (spgn != cur_w) & (spgn != spg),
-                                   1 << 29, 0))
-            evt2 = jnp.where((packed2 >> 28) != 0, 1, 0)
-            erows2 = _pack_events(evt2)
-            x_ref[:] = jnp.where(lane_i == 0, packed2,
-                                 jnp.where(lane_i == 1, erows2, 0))
-            # copy-source rows: ring for the last RING pages, HBM DMA for
-            # older ones (start all, then wait all, so latencies overlap);
-            # event-gated like phase 0 — streams copying from the current
-            # write page (short distances) cost the scalar core nothing
-            for g in range(ngr):
-                ew2 = x_ref[g, 1]
-                @pl.when(ew2 != 0)
-                def _(ew2=ew2, g=g):
-                    for s in range(g * 32, min(n, g * 32 + 32)):
-                        @pl.when(((ew2 >> (s - g * 32)) & 1) != 0)
-                        def _(s=s):
-                            _stage_copy_one(s)
-            for s in range(n):
-                @pl.when(needa[s] != 0)
-                def _(s=s):
-                    pltpu.make_async_copy(out_ref.at[0, s], a_ref.at[s],
-                                          asem).wait()
-                    needa[s] = jnp.int32(0)
-                @pl.when(needb[s] != 0)
-                def _(s=s):
-                    pltpu.make_async_copy(out_ref.at[0, s], b_ref.at[s],
-                                          bsem).wait()
-                    needb[s] = jnp.int32(0)
+            def _phase2(outpos, pend_len, st):
+                ac = active0 & ~err & (pend_len > 0)
+                d = jnp.maximum(pend_dist, 1)
+                wl512 = outpos & 511
+                step = jnp.where(ac, jnp.minimum(pend_len, 512 - wl512), 0)
+                base = jnp.maximum(outpos - d, 0)
+                spg = jnp.clip(base >> 9, 0, out_pages4 - 1)
+                spgn = jnp.minimum(spg + 1, out_pages4 - 1)
+                packed2 = (spg
+                           | jnp.where(ac & (spg != cur_w), 1 << 28, 0)
+                           | jnp.where(ac & (spgn != cur_w) & (spgn != spg),
+                                       1 << 29, 0))
+                evt2 = jnp.where((packed2 >> 28) != 0, 1, 0)
+                erows2 = _pack_events(evt2)
+                x_ref[:] = jnp.where(lane_i == 0, packed2,
+                                     jnp.where(lane_i == 1, erows2, 0))
+                # copy-source rows: ring for the last RING pages, HBM DMA for
+                # older ones (start all, then wait all, so latencies overlap);
+                # event-gated like phase 0 — streams copying from the current
+                # write page (short distances) cost the scalar core nothing
+                if "copystage" not in ablate:
+                    for g in range(ngr):
+                        ew2 = x_ref[g, 1]
+                        @pl.when(ew2 != 0)
+                        def _(ew2=ew2, g=g):
+                            for s in range(g * 32, min(n, g * 32 + 32)):
+                                @pl.when(((ew2 >> (s - g * 32)) & 1) != 0)
+                                def _(s=s):
+                                    _stage_copy_one(s)
+                    _word_waits(needa, lambda s: pltpu.make_async_copy(
+                        out_ref.at[0, s], a_ref.at[s], asem).wait())
+                    _word_waits(needb, lambda s: pltpu.make_async_copy(
+                        out_ref.at[0, s], b_ref.at[s], bsem).wait())
 
-            wv = w_ref[:]
-            av = jnp.where(spg == cur_w, wv, a_ref[:])
-            bv = jnp.where(spgn == cur_w, wv, b_ref[:])
-            b512 = base & 511
-            wnew = zero
-            for r in range(4):
-                j = (r * PAGE + lane_i) - wl512
-                jm = jnp.where(j > 0, j % d, 0)
-                off = b512 + jm          # [0, 1022]: 2 word rows cover it
-                word = jnp.where(off < 512, gat(av, off & (PAGE - 1)),
-                                 gat(bv, off & (PAGE - 1)))
-                byte = (word >> (((off >> 7) & 3) << 3)) & 0xFF
-                keep = (wv >> (r << 3)) & 0xFF
-                wmask = ac & (j >= 0) & (j < step)
-                wnew = wnew | (jnp.where(wmask, byte, keep) << (r << 3))
-            w_ref[:] = wnew
-            outpos = jnp.where(ac, outpos + step, outpos)
-            pend_len = jnp.where(ac, pend_len - step, pend_len)
-            lpos = jnp.maximum(outpos - 1, 0)
-            nlast = (gat(wnew, lpos & (PAGE - 1))
-                     >> (((lpos >> 7) & 3) << 3)) & 0xFF
-            st = setv(st, ST_LAST,
-                      jnp.where(ac, nlast, getv(st, ST_LAST)))
+                wv = w_ref[:]
+                av = jnp.where(spg == cur_w, wv, a_ref[:])
+                bv = jnp.where(spgn == cur_w, wv, b_ref[:])
+                b512 = base & 511
+                # j mod d via f32 reciprocal: int vector division has no
+                # hardware path; with j < 1024 and d >= 1 the f32 quotient
+                # is within 1 of truth, fixed by one correction select
+                rec = 1.0 / d.astype(jnp.float32)
+                wnew = zero
+                for r in range(4):
+                    j = (r * PAGE + lane_i) - wl512
+                    if "nomod" in ablate:
+                        jm = jnp.where(j > 0, j, 0)
+                    elif "intmod" in ablate:
+                        jm = jnp.where(j > 0, j % d, 0)
+                    else:
+                        q = (j.astype(jnp.float32) * rec).astype(_I32)
+                        jm = j - q * d
+                        jm = jnp.where(jm < 0, jm + d,
+                                       jnp.where(jm >= d, jm - d, jm))
+                        jm = jnp.where(j > 0, jm, 0)
+                    off = b512 + jm      # [0, 1022]: 2 word rows cover it
+                    word = jnp.where(off < 512, gat(av, off & (PAGE - 1)),
+                                     gat(bv, off & (PAGE - 1)))
+                    byte = (word >> (((off >> 7) & 3) << 3)) & 0xFF
+                    keep = (wv >> (r << 3)) & 0xFF
+                    wmask = ac & (j >= 0) & (j < step)
+                    wnew = wnew | (jnp.where(wmask, byte, keep) << (r << 3))
+                w_ref[:] = wnew
+                outpos = jnp.where(ac, outpos + step, outpos)
+                pend_len = jnp.where(ac, pend_len - step, pend_len)
+                lpos = jnp.maximum(outpos - 1, 0)
+                nlast = (gat(wnew, lpos & (PAGE - 1))
+                         >> (((lpos >> 7) & 3) << 3)) & 0xFF
+                st = setv(st, ST_LAST,
+                          jnp.where(ac, nlast, getv(st, ST_LAST)))
+                return outpos, pend_len, st
+
+            if "copy" not in ablate:
+                outpos, pend_len, st = _phase2(outpos, pend_len, st)
 
             st = setv(st, ST_OUTPOS, outpos)
             st = setv(st, ST_PLEN, pend_len)
@@ -744,6 +882,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
         def cond(carry):
             it, busy_s = carry[0], carry[1]
+            if fixed_iters:
+                return it < fixed_iters
             return (busy_s != 0) & (it < max_iters)
 
         # ---- outer loop: one round per chunk of the group ------------------
@@ -843,12 +983,9 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         # drain any in-flight input prefetch before exiting
         dirty = jnp.maximum(outpos - 1, 0) >> 9
         x_ref[:] = jnp.where(lane_i == 0, dirty, 0)
+        _word_waits(pend_dma, lambda s: pltpu.make_async_copy(
+            src_ref.at[0, s], i1_ref.at[s], dsem.at[s]).wait())
         for s in range(n):
-            @pl.when(pend_dma[s] != 0)
-            def _(s=s):
-                pltpu.make_async_copy(src_ref.at[0, s], i1_ref.at[s],
-                                      dsem.at[s]).wait()
-                pend_dma[s] = jnp.int32(0)
             pltpu.make_async_copy(w_ref.at[s], out_ref.at[x_ref[s, 0], s],
                                   fsem).start()
         for s in range(n):
@@ -861,12 +998,13 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 @functools.partial(jax.jit,
                    static_argnames=("n_streams", "in_pages", "out_pages",
                                     "lc", "lp", "pb", "n_chunks",
-                                    "interpret"))
+                                    "interpret", "ablate_spec"))
 def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
-                 lc, lp, pb, n_chunks=1, interpret=False):
+                 lc, lp, pb, n_chunks=1, interpret=False, ablate_spec=""):
     max_iters = out_pages * PAGE + 4096
     kernel, tot_pages = _make_kernel(n_streams, in_pages, out_pages,
-                                     lc, lp, pb, max_iters, n_chunks)
+                                     lc, lp, pb, max_iters, n_chunks,
+                                     ablate_spec)
     n = n_streams
     return pl.pallas_call(
         kernel,
@@ -880,7 +1018,7 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         scratch_shapes=[
             pltpu.VMEM((tot_pages, n, PAGE), _I32),   # fam
-            pltpu.VMEM((RING, n, PAGE), _I32),        # ring dict cache
+            pltpu.VMEM((_ring(n), n, PAGE), _I32),    # ring dict cache
             pltpu.VMEM((n, PAGE), _I32),              # W  write window (words)
             pltpu.VMEM((n, PAGE), _I32),              # M  matched-byte row
             pltpu.VMEM((n, PAGE), _I32),              # A  copy src row
@@ -890,11 +1028,11 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
             pltpu.VMEM((n, PAGE), _I32),              # X  scalar xfer
             pltpu.SMEM((n,), _I32),                   # prev input page
             pltpu.SMEM((n,), _I32),                   # tracked write page
-            pltpu.SMEM((n,), _I32),                   # pending prefetch DMA
-            pltpu.SMEM((n,), _I32),                   # pending flush DMA
-            pltpu.SMEM((n,), _I32),                   # pending m-row DMA
-            pltpu.SMEM((n,), _I32),                   # pending a-row DMA
-            pltpu.SMEM((n,), _I32),                   # pending b-row DMA
+            pltpu.SMEM((-(-n // 32),), _I32),         # prefetch DMA bitmask
+            pltpu.SMEM((-(-n // 32),), _I32),         # flush DMA bitmask
+            pltpu.SMEM((-(-n // 32),), _I32),         # m-row DMA bitmask
+            pltpu.SMEM((-(-n // 32),), _I32),         # a-row DMA bitmask
+            pltpu.SMEM((-(-n // 32),), _I32),         # b-row DMA bitmask
             pltpu.SemaphoreType.DMA((n,)),            # per-stream input DMA
             pltpu.SemaphoreType.DMA,                  # init DMA
             # flush/m/a/b share ONE semaphore each across streams (sflag
@@ -940,7 +1078,8 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
         jnp.asarray(meta), jnp.asarray(words),
         n_streams=n, in_pages=in_pages, out_pages=out_pages,
         lc=lc, lp=lp, pb=pb, n_chunks=n_chunks,
-        interpret=_resolve_interpret(interpret))
+        interpret=_resolve_interpret(interpret),
+        ablate_spec=_ablate_env())
 
 
 def _resolve_interpret(interpret):

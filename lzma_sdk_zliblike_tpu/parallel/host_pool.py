@@ -72,6 +72,37 @@ def encode_lzma2_mt(data: bytes, *, dict_size: int, chunk_size: int,
     return bytes(out), prop_holder["prop"]
 
 
+def group_span(stream: bytes, group) -> tuple[int, int, int]:
+    """(start, end, unpack) byte span of a dict-reset group in `stream`.
+
+    The span starts at the group's first control byte, so the slice is a
+    standalone LZMA2 stream (modulo the missing EOS terminator).
+    """
+    from ..models.lzma2 import framing
+
+    def ctrl_off(c):
+        if not c.is_lzma:
+            return c.data_off - 3
+        return c.data_off - 5 - (
+            1 if c.mode >= framing.MODE_STATE_PROPS else 0)
+
+    return (ctrl_off(group[0]),
+            group[-1].data_off + group[-1].pack_size,
+            sum(c.unpack_size for c in group))
+
+
+def decode_group_native(stream: bytes, group, dict_prop: int) -> bytes:
+    """Decode one dict-reset group with the native engine (host worker)."""
+    from .. import native
+    from ..models.lzma2 import framing
+
+    if not native.available():
+        return framing.decode_chunks(stream, group)
+    start, end, unpack = group_span(stream, group)
+    return native.lzma2_decode(stream[start:end] + b"\x00", dict_prop,
+                               size_hint=unpack)
+
+
 def decode_lzma2_mt(stream: bytes, dict_prop: int, *,
                     threads: int | None = None,
                     progress=None) -> bytes:

@@ -84,3 +84,20 @@ def test_corrupt_stream(corpus):
     bad = bytes([1]) + mine[1:]
     with pytest.raises(LzmaError):
         P.decode(bad, props, len(data))
+
+
+def test_native_port_matches_python_engine():
+    """native/lzt_ppmd7.cc must be byte-identical to the Python codec."""
+    from lzma_sdk_zliblike_tpu import native
+    if not native.ppmd7_available():
+        import pytest
+        pytest.skip("native library not built")
+    from tests.corpus import big_mixed, random_bytes
+    for order, mem in [(2, 1 << 16), (6, 1 << 20), (12, 1 << 14)]:
+        data = big_mixed(24000, seed=order) + random_bytes(3000, seed=order)
+        s_py, props = P.encode(data, order=order, mem_size=mem,
+                               engine="python")
+        s_nat, props2 = P.encode(data, order=order, mem_size=mem)
+        assert props == props2 and s_nat == s_py
+        assert P.decode(s_nat, props, len(data)) == data
+        assert P.decode(s_nat, props, len(data), engine="python") == data
