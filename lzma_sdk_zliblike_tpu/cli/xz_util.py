@@ -27,13 +27,19 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--engine", default="auto")
     ap.add_argument("--effort", type=int, default=9,
                     help="1-9 fast..best lazy; 10 = optimal parse")
+    ap.add_argument("--threads", type=int, default=None,
+                    help="block-parallel encode threads (0 = all cores)")
     args = ap.parse_args(argv)
     try:
         data = open(args.input, "rb").read()
         if args.command == "c":
+            threads = args.threads
+            if threads == 0:
+                import os as _os
+                threads = _os.cpu_count() or 1
             out = xz.encode(data, check=args.check, dict_size=args.dict_size,
                             block_size=args.block_size, effort=args.effort,
-                            engine=args.engine)
+                            threads=threads, engine=args.engine)
             open(args.output, "wb").write(out)
         elif args.command == "d":
             out = xz.decode(data, engine=args.engine)

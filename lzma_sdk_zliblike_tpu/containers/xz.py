@@ -137,13 +137,16 @@ def encode(data: bytes, *, check: str = "crc32",
            filters: list[XzFilter] | None = None,
            dict_size: int = 1 << 24, block_size: int | None = None,
            chunk_size: int | None = None, parallel_groups: bool = True,
-           effort: int = 9,
+           effort: int = 9, threads: int | None = None,
            engine: str = "auto") -> bytes:
     """Encode bytes into a one-stream .xz image.
 
     ``filters``: optional pre-filters (delta/branch) applied before the
     LZMA2 stage, in xz filter-chain order.  ``block_size`` splits input
     into independently decodable blocks (reference writes a single block).
+    ``threads``: block-parallel LZMA2 encoding over dict-reset groups
+    (the MtCoder-backed xz path, ``XzEnc.c:431-450``); the stream is
+    byte-identical at any thread count.
     """
     check_id = _CHECK_NAMES[check]
     out = bytearray(_stream_header(check_id))
@@ -158,10 +161,17 @@ def encode(data: bytes, *, check: str = "crc32",
         for f in pre:
             payload = _apply_filter(f, payload, encoding=True)
             chain.append(f)
-        stream, prop = framing.encode(payload, dict_size=dict_size,
-                                      chunk_size=chunk_size,
-                                      parallel_groups=parallel_groups,
-                                      effort=effort, engine=engine)
+        if threads is not None and threads != 1 and parallel_groups:
+            from ..parallel.host_pool import encode_lzma2_mt
+            stream, prop = encode_lzma2_mt(
+                payload, dict_size=dict_size,
+                chunk_size=chunk_size or (1 << 20), threads=threads,
+                effort=effort)
+        else:
+            stream, prop = framing.encode(payload, dict_size=dict_size,
+                                          chunk_size=chunk_size,
+                                          parallel_groups=parallel_groups,
+                                          effort=effort, engine=engine)
         chain = chain + [XzFilter(FILTER_LZMA2, bytes([prop]))]
         hdr = _block_header(chain)
         chk = _check_compute(check_id, blk)

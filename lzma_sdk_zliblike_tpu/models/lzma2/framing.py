@@ -307,6 +307,11 @@ def encode(data: bytes, *, dict_size: int = 1 << 24,
                     out += gdata[cpos:cend]
                     first_of_group = False
                     cpos = cend
+                # the next LZMA chunk will carry a state-reset flag (the
+                # grammar requires it after a copy chunk) and the DECODER
+                # will re-init probs/state/reps — the encoder must match,
+                # not merely restore the pre-segment snapshot
+                enc.reset_state()
                 need_state_reset = True
             first_of_group = False
             pos = end

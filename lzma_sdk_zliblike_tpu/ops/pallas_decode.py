@@ -71,8 +71,10 @@ by up to 127 continuation chunks (the data-parallel unit ``Lzma2Dec.c:14-26``
 defines).  An outer in-kernel loop runs one decode round per chunk: chunk
 boundaries re-init the range coder from the next 5 header bytes, and
 state-reset chunks additionally re-init the probability model/state/reps
-while the dictionary position continues.  Groups containing uncompressed
-copy chunks fall back to the host engine (rare).
+while the dictionary position continues.  Uncompressed copy chunks run
+in-kernel too (the phase 0.5 mover, traced only when the batch contains
+one), so reference-default 64 MB blocks (``Lzma2Enc.c:223-233``) and
+level-9 dictionaries decode 100% on the pallas path.
 """
 
 from __future__ import annotations
@@ -101,7 +103,7 @@ RING = 64                # VMEM ring cache: last 64 flushed word pages
 
 
 def _ring(n_streams: int) -> int:
-    """Ring pages per stream: 64 up to 64 lanes; 32 at 128+ lanes (the
+    """Ring pages per stream: 64 up to 64 lanes; 32 above 64 lanes (the
     fam tables + ring must fit the 16 MB VMEM together)."""
     return RING if n_streams <= 64 else 32
 
@@ -132,6 +134,12 @@ ST_PCW = 11       # write word-page at last staging (event detection)
 def _family_layout(lc: int, lp: int):
     """Assign each probability family a page range in the fams scratch.
 
+    Probabilities are 11-bit values; each int32 lane word packs TWO
+    adjacent entries (16 bits each), so a 128-lane page holds 256 family
+    entries — half the page-select gathers/stores per bit decode and half
+    the VMEM of the 1-entry-per-word layout (measured v9: the lit-family
+    page loops were the largest single bit-call cost).
+
     Returns (layout dict name -> (first_page, width, n_pages), total_pages).
     """
     nls = 1 << (lc + lp)
@@ -156,10 +164,14 @@ def _family_layout(lc: int, lp: int):
     layout = {}
     page = 0
     for name, width in fams:
-        npg = -(-width // PAGE)
+        npg = -(-width // (2 * PAGE))       # 256 packed entries per page
         layout[name] = (page, width, npg)
         page += npg
     return layout, page
+
+
+# both 16-bit halves initialized to PROB_INIT (= 1024)
+_PROB_INIT2 = np.int32((S.PROB_INIT << 16) | S.PROB_INIT)
 
 
 # ---------------------------------------------------------------------------
@@ -173,25 +185,43 @@ def _family_layout(lc: int, lp: int):
 
 
 def _ablate_env() -> str:
-    """Ablation spec (jit-static): "phase,phase,...[@iters]" from env."""
+    """Ablation spec (jit-static): "phase,phase,...[@iters]" from env.
+
+    Ablated kernels return GARBAGE with the error flags suppressed, so a
+    leaked dev env var must never silently reach a production decode:
+    the spec is honored only with the explicit second opt-in below, and
+    its use is announced loudly on stderr.
+    """
     spec = os.environ.get("LZT_ABLATE", "")
     it = os.environ.get("LZT_ABLATE_ITERS", "")
+    if not spec and not it:
+        return ""
+    if os.environ.get("LZT_ABLATE_I_KNOW_RESULTS_ARE_WRONG") != "1":
+        raise RuntimeError(
+            "LZT_ABLATE/LZT_ABLATE_ITERS are timing-probe knobs whose "
+            "results are wrong by design; set "
+            "LZT_ABLATE_I_KNOW_RESULTS_ARE_WRONG=1 to confirm (dev "
+            "tools do this for you)")
+    import sys
+    print(f"lzt: ABLATION ACTIVE ({spec!r}@{it!r}) — decode results are "
+          "garbage by design", file=sys.stderr, flush=True)
     return f"{spec}@{it}" if it else spec
 
 
 def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                  lc: int, lp: int, pb: int, max_iters: int, n_chunks: int,
-                 ablate_spec: str = ""):
+                 ablate_spec: str = "", has_copy: bool = False):
     layout, tot_pages = _family_layout(lc, lp)
     spec, _, it_s = ablate_spec.partition("@")
     ablate = set(filter(None, spec.split(",")))
     fixed_iters = int(it_s or "0")
     ring = _ring(n_streams)
     n = n_streams
-    # staging words pack page indices into bit fields: input 512B pages get
-    # 14 bits (8 MB packed per group), output word pages 15 bits (16 MB
-    # dictionary — the reference's default encode dict, LzmaEnc.c:58)
-    assert in_pages <= (1 << 14) and out_pages // 4 <= (1 << 15), \
+    # staging fields: input 512B pages get 20 bits (512 MB packed per
+    # group), output word pages ride in their own x_ref lane (full int32)
+    # — big enough for the reference's default MT block of 4x dict = 64 MB
+    # (Lzma2Enc.c:223-233) and level-9 dictionaries (LzmaEnc.c:58)
+    assert in_pages <= (1 << 20) and out_pages // 4 <= (1 << 26), \
         (in_pages, out_pages)
     pb_mask = (1 << pb) - 1
     lp_mask = (1 << lp) - 1
@@ -220,7 +250,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                      # truncate those back to i1 masks)
 
         # ---- init ---------------------------------------------------------
-        fam_ref[:] = jnp.full((tot_pages, n, PAGE), S.PROB_INIT, _I32)
+        fam_ref[:] = jnp.full((tot_pages, n, PAGE), _PROB_INIT2, _I32)
         w_ref[:] = zero
         cp0 = pltpu.make_async_copy(src_ref.at[0], i0_ref, isem)
         cp0.start()
@@ -256,29 +286,35 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         sid = jax.lax.broadcasted_iota(_I32, (n, PAGE), 0)
 
         def _pack_events(evt):
-            """[n,PAGE] 0/1 (lane-uniform) -> rows 0..ngr-1 hold the packed
-            32-bit event word of streams 32g..32g+31 (sublane reduce)."""
-            shifted = evt << (sid & 31)
-            rows = jnp.zeros((n, PAGE), _I32)
-            for g in range(-(-n // 32)):
-                gw = jnp.sum(jnp.where((sid >> 5) == g, shifted, 0), axis=0)
-                rows = jnp.where(sid == g, gw[None, :], rows)
-            return rows
+            """[n,PAGE] 0/1 (lane-uniform) -> ONE [n,PAGE] array whose row 0
+            holds group g's packed 32-bit event word at lane EVL+g.
+
+            v10: a single sublane-axis sum replaces the per-group sums of
+            v8/v9 (measured: the per-group version cost ~8.7 us/iter at
+            S=128, twice per iteration — the dominant lane-scaling term).
+            Each stream owns a distinct bit of a distinct lane, so the sum
+            IS the bitwise OR; bit 31's int32 wrap is benign.
+            """
+            contrib = jnp.where((sid >> 5) + EVL == lane_i,
+                                evt << (sid & 31), 0)
+            col = jnp.sum(contrib, axis=0)           # [PAGE]
+            return jnp.where(sid == 0, col[None, :], 0)
 
         ngr = -(-n // 32)  # stream groups of 32 for packed event words
+        EVL = PAGE - 32    # event words: row 0, lanes EVL..EVL+ngr-1
 
         def scalar_stage():
             """Event-gated per-stream staging driven by packed x_ref words.
 
-            lane 0 of x_ref: bits [0:14) staged input page, [14:29) current
-            output word page (flush target check), [29] load-matched-row
-            flag; lane 1 holds the matched-byte word page when bit 29 is
-            set.  Lane 2 of rows 0..ngr-1 holds 32 per-stream EVENT bits
-            each (computed by the vector core from the carried ST_PIPG /
-            ST_PCW mirrors): the scalar core reads one word per 32 streams
-            and touches only streams that actually have a page event —
-            scalar VMEM reads are the staging cost, and most iterations
-            most streams have no event.
+            lane 0 of x_ref: bits [0:20) staged input page, [29]
+            load-matched-row flag; lane 1 holds the matched-byte word page
+            when bit 29 is set; lane 2 the current output word page (flush
+            target check).  Row 0, lane EVL+g holds 32 per-stream EVENT bits for
+            stream group g (computed by the vector core from the carried
+            ST_PIPG / ST_PCW mirrors): the scalar core reads one word per
+            32 streams and touches only streams that actually have a page
+            event — scalar VMEM reads are the staging cost, and most
+            iterations most streams have no event.
 
             The dictionary (= the packed output) lives in HBM: page
             flushes are VMEM→HBM DMAs, and dictionary reads come from the
@@ -289,7 +325,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             if "stage" in ablate:
                 return
             for g in range(ngr):
-                ew = x_ref[g, 2]
+                ew = x_ref[0, EVL + g]
                 @pl.when(ew != 0)
                 def _(ew=ew, g=g):
                     for s in range(g * 32, min(n, g * 32 + 32)):
@@ -300,8 +336,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
         def _stage_one(s):
                 v = x_ref[s, 0]
-                pg_i = v & 0x3FFF
-                cu = (v >> 14) & 0x7FFF
+                pg_i = v & 0xFFFFF
+                cu = x_ref[s, 2]
                 @pl.when(cu != tracked[s])
                 def _(cu=cu, s=s):
                     # flush the write window: ring slot (sync) + HBM (async)
@@ -338,7 +374,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
         def _stage_copy_one(s):
             v2 = x_ref[s, 0]
-            pg_a = v2 & 0x7FFF
+            pg_a = v2 & 0x0FFFFFFF
             cw_s = tracked[s]
             @pl.when(((v2 >> 28) & 1) != 0)
             def _(pg_a=pg_a, cw_s=cw_s, s=s):
@@ -389,7 +425,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         CHECK_EVERY = 64  # busy-check period (power of two)
 
         def body(carry):
-            (it, busy_s, rng, code, inpos, st, limit) = carry
+            (it, busy_s, rng, code, inpos, st, limit, cmode_i) = carry
+            cmodeb = cmode_i != 0
 
             # Termination check, lagged and periodic.  The while cond must
             # depend only on values resolvable EARLY in the body: a cond fed
@@ -431,18 +468,19 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             rep0c = getv(st, ST_REP0)
             statec = getv(st, ST_STATE)
             err0 = getv(st, ST_ERR) != 0
-            do = active0 & ~err0 & (outpos < limit) & (getv(st, ST_PLEN) == 0)
+            do = (active0 & ~err0 & ~cmodeb & (outpos < limit)
+                  & (getv(st, ST_PLEN) == 0))
             mpos = jnp.clip(outpos - rep0c - 1, 0, dic_cap - 1)
             m_w = mpos >> 9
             need_m = do & (statec >= 7) & (m_w != cur_w)
-            # ONE packed staging word per stream (lane 0): scalar VMEM reads
-            # are the expensive part of the staging loop (measured: splitting
-            # these into separate x_ref lanes costs ~12 us/iter at S=32), so
-            # the scalar core reads one lane and unpacks with register ALU
-            # ops.  The wide matched-byte page rides in lane 1, read only
-            # when bit 29 flags it.
+            # Staging word per stream (lane 0): scalar VMEM reads are the
+            # expensive part of the staging loop, but since v10 the reads
+            # are event-gated (packed event words below), so the write
+            # word-page rides in its own lane 2 (full 32 bits — 64 MB+
+            # groups) and is read by the scalar core only on an event.
+            # The wide matched-byte page rides in lane 1, read only when
+            # bit 29 flags it.
             packed = (jnp.clip(ipg, 0, in_pages - 1)
-                      | (cur_w << 14)
                       | jnp.where(need_m, 1 << 29, 0))
             # per-stream event bits (input-page advance / write-page flush /
             # matched-row load), packed 32 streams per word so the scalar
@@ -454,8 +492,45 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             erows = zero if "events" in ablate else _pack_events(evt)
             x_ref[:] = jnp.where(lane_i == 0, packed,
                                  jnp.where(lane_i == 1, m_w,
-                                           jnp.where(lane_i == 2, erows, 0)))
+                                           jnp.where(lane_i == 2, cur_w,
+                                                     erows)))
             scalar_stage()
+
+            if has_copy:
+                # ---- phase 0.5: copy-chunk mover ------------------------
+                # The LZMA2 uncompressed-chunk path
+                # (``Lzma2Dec.c:159-289``'s LzmaDec_UpdateWithUncompressed
+                # analog), in-kernel: up to 512 - (outpos & 511) raw bytes
+                # per iteration flow from the two staged input pages into
+                # the write window, sharing the flush/ring/DMA machinery
+                # with the LZMA path so later chunks can match into the
+                # copied bytes.  Traced only for batches that contain a
+                # copy chunk (jit-static has_copy).
+                ac = active0 & ~err0 & cmodeb & (outpos < limit)
+                wl512c = outpos & 511
+                ioff = inpos - (ipg << 9)          # [0, 512)
+                stepc = jnp.where(ac, jnp.minimum(512 - wl512c,
+                                                  limit - outpos), 0)
+                wvc = w_ref[:]
+                wnewc = zero
+                for r in range(4):
+                    j = (r * PAGE + lane_i) - wl512c
+                    soff = ioff + j                # < 1024: 2 pages cover
+                    word = jnp.where(soff < 512, gat(i0_ref[:], soff >> 2),
+                                     gat(i1_ref[:], (soff >> 2) - PAGE))
+                    byte = (word >> ((soff & 3) << 3)) & 0xFF
+                    keep = (wvc >> (r << 3)) & 0xFF
+                    wmask = ac & (j >= 0) & (j < stepc)
+                    wnewc = wnewc | (jnp.where(wmask, byte, keep)
+                                     << (r << 3))
+                w_ref[:] = wnewc
+                outpos = jnp.where(ac, outpos + stepc, outpos)
+                inpos = jnp.where(ac, inpos + stepc, inpos)
+                lposc = jnp.maximum(outpos - 1, 0)
+                nlastc = (gat(wnewc, lposc & (PAGE - 1))
+                          >> (((lposc >> 7) & 3) << 3)) & 0xFF
+                st = setv(st, ST_LAST,
+                          jnp.where(ac, nlastc, getv(st, ST_LAST)))
 
             def renorm(rc, do):
                 """Range renormalization: one byte from the staged pages."""
@@ -487,21 +562,27 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 for _, _, mk in parts[1:]:
                     do = do | mk
                 rng, code, inpos = renorm(rc, do)
+                # 16-bit packed tables: word index = entry >> 1, the entry's
+                # half selected by bit 0 (sh ∈ {0,16}); the gathered word is
+                # kept for the masked halfword merge at update time
                 p = zero
                 lns = []
                 for fam, idx, mask in parts:
                     base, width, npg = layout[fam]
                     idx = jnp.clip(idx, 0, width - 1)
-                    ln = idx & (PAGE - 1)
-                    pg = idx >> 7
-                    lns.append((base, npg, ln, pg, mask))
+                    widx = idx >> 1
+                    ln = widx & (PAGE - 1)
+                    pg = widx >> 7
+                    sh = (idx & 1) << 4
                     if npg == 1:
-                        pp = gat(fam_ref[base], ln)
+                        wv = gat(fam_ref[base], ln)
                     else:
-                        pp = zero
+                        wv = zero
                         for i in range(npg):
                             g = gat(fam_ref[base + i], ln)
-                            pp = jnp.where(pg == i, g, pp)
+                            wv = jnp.where(pg == i, g, wv)
+                    pp = (wv >> sh) & 0xFFFF
+                    lns.append((base, npg, ln, pg, sh, wv, mask))
                     p = pp if len(parts) == 1 else jnp.where(mask, pp, p)
                 bound = (rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
                 bit0 = code < bound
@@ -509,14 +590,18 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                     bit0,
                     p + ((S.RC_BIT_MODEL_TOTAL - p) >> S.RC_MOVE_BITS),
                     p - (p >> S.RC_MOVE_BITS))
-                for base, npg, ln, pg, mask in lns:
+                for base, npg, ln, pg, sh, wv, mask in lns:
+                    # the store mask `oh` restricts to this part's lanes,
+                    # where per-lane `newp` was computed from this part's p
                     oh = (lane_i == ln) & mask
+                    merged = ((wv & (((zero + 0xFFFF) << sh) ^ -1))
+                              | (newp << sh))
                     if npg == 1:
-                        fam_ref[base] = jnp.where(oh, newp, fam_ref[base])
+                        fam_ref[base] = jnp.where(oh, merged, fam_ref[base])
                     else:
                         for i in range(npg):
                             fam_ref[base + i] = jnp.where(
-                                oh & (pg == i), newp, fam_ref[base + i])
+                                oh & (pg == i), merged, fam_ref[base + i])
                 rng = jnp.where(do, jnp.where(bit0, bound, rng - bound), rng)
                 code = jnp.where(do, jnp.where(bit0, code, code - bound),
                                  code)
@@ -812,15 +897,14 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                        1 << 29, 0))
                 evt2 = jnp.where((packed2 >> 28) != 0, 1, 0)
                 erows2 = _pack_events(evt2)
-                x_ref[:] = jnp.where(lane_i == 0, packed2,
-                                     jnp.where(lane_i == 1, erows2, 0))
+                x_ref[:] = jnp.where(lane_i == 0, packed2, erows2)
                 # copy-source rows: ring for the last RING pages, HBM DMA for
                 # older ones (start all, then wait all, so latencies overlap);
                 # event-gated like phase 0 — streams copying from the current
                 # write page (short distances) cost the scalar core nothing
                 if "copystage" not in ablate:
                     for g in range(ngr):
-                        ew2 = x_ref[g, 1]
+                        ew2 = x_ref[0, EVL + g]
                         @pl.when(ew2 != 0)
                         def _(ew2=ew2, g=g):
                             for s in range(g * 32, min(n, g * 32 + 32)):
@@ -878,7 +962,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             st = setv(st, ST_PDIST, pend_dist)
             st = setv(st, ST_ERR, jnp.where(err, 1, 0))
 
-            return (it + 1, busy_s, rng, code, inpos, st, limit)
+            return (it + 1, busy_s, rng, code, inpos, st, limit, cmode_i)
 
         def cond(carry):
             it, busy_s = carry[0], carry[1]
@@ -893,7 +977,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         # model, state, and reps while the dictionary (outpos) continues.
         pk_tab = meta_ref[3]         # cumulative packed end per chunk lane
         ul_tab = meta_ref[4]         # cumulative unpacked end per chunk lane
-        fl_tab = meta_ref[5]         # bit0 = valid, bit1 = state reset
+        fl_tab = meta_ref[5]         # bit0 = valid, bit1 = state reset,
+                                     # bit2 = uncompressed copy chunk
 
         def round_fn(c, carry):
             (rng, code, inpos, st, itt) = carry
@@ -905,25 +990,29 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             errp = getv(st, ST_ERR) != 0
             valid = active0 & ~errp & ((flags & 1) != 0)
             reset = valid & ((flags & 2) != 0)
+            is_copy = valid & ((flags & 4) != 0) if has_copy else \
+                valid & (zero != 0)
+            vlz = valid & ~is_copy
 
             # masked probability/state reset (dictionary continues; the
             # literal context byte ST_LAST is dict content, NOT coder state)
             for p in range(tot_pages):
-                fam_ref[p] = jnp.where(reset, S.PROB_INIT, fam_ref[p])
+                fam_ref[p] = jnp.where(reset, _PROB_INIT2, fam_ref[p])
             st = jnp.where(reset & (lane_i >= ST_STATE)
                            & (lane_i <= ST_REP3), 0, st)
 
             # stage input pages for the new chunk's RC header
             outpos0 = getv(st, ST_OUTPOS)
             ipg0 = jnp.where(valid, pk_start >> 9, inpos >> 9)
-            packed0 = (jnp.clip(ipg0, 0, in_pages - 1)
-                       | ((outpos0 >> 9) << 14))
+            packed0 = jnp.clip(ipg0, 0, in_pages - 1)
             # chunk transitions force every stream through the staging body
             # (event word all-ones) and resync the event-detection mirrors
             st = setv(st, ST_PIPG, jnp.clip(ipg0, 0, in_pages - 1))
             st = setv(st, ST_PCW, outpos0 >> 9)
             x_ref[:] = jnp.where(lane_i == 0, packed0,
-                                 jnp.where(lane_i == 2, -1, 0))
+                                 jnp.where(lane_i == 2, outpos0 >> 9,
+                                           jnp.where(lane_i >= PAGE - 32,
+                                                     -1, 0)))
             scalar_stage()
 
             # RC init: 5 header bytes, first must be 0 (LzmaDec.c:729-746)
@@ -932,26 +1021,30 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 vw = jnp.where(off < PAGE, gat(i0_ref[:], off),
                                gat(i1_ref[:], off - PAGE)).astype(_U32)
                 return (vw >> ((pos & 3) << 3).astype(_U32)) & 0xFF
+            # RC init applies to LZMA chunks only; a copy chunk's body is
+            # raw bytes starting right at pk_start
             hb = [fetch(pk_start + k) for k in range(5)]
-            errh = valid & ((hb[0] != 0) | (pk_end - pk_start < 5))
-            rng = jnp.where(valid, jnp.full_like(rng, _MASK32), rng)
-            code = jnp.where(valid, (hb[1] << 24) | (hb[2] << 16)
+            errh = vlz & ((hb[0] != 0) | (pk_end - pk_start < 5))
+            rng = jnp.where(vlz, jnp.full_like(rng, _MASK32), rng)
+            code = jnp.where(vlz, (hb[1] << 24) | (hb[2] << 16)
                              | (hb[3] << 8) | hb[4], code)
-            inpos = jnp.where(valid, pk_start + 5, inpos)
+            inpos = jnp.where(vlz, pk_start + 5,
+                              jnp.where(is_copy, pk_start, inpos))
             st = setv(st, ST_ERR,
                       jnp.where(errh, 1, jnp.where(errp, 1, 0)))
 
             init = (jnp.int32(0), jnp.int32(1), rng, code, inpos, st,
-                    limit_c)
+                    limit_c, jnp.where(is_copy, 1, 0))
             fin = jax.lax.while_loop(cond, body, init)
-            (it, _b, rng, code, inpos, st, _l) = fin
+            (it, _b, rng, code, inpos, st, _l, _cm) = fin
 
             # per-chunk verdict: exact consumption accounting including the
-            # trailing renormalize (LzmaDec.c:412)
+            # trailing renormalize (LzmaDec.c:412) — LZMA chunks only (a
+            # copy chunk consumes exactly its unpacked size)
             errc = getv(st, ST_ERR) != 0
             outp = getv(st, ST_OUTPOS)
             consumed = inpos
-            tail = valid & ~errc & (rng < _TOP) & (consumed < pk_end)
+            tail = vlz & ~errc & (rng < _TOP) & (consumed < pk_end)
             consumed = jnp.where(tail, consumed + 1, consumed)
             okc = (outp == limit_c) & (consumed == pk_end)
             errn = errc | (valid & ~okc)
@@ -998,13 +1091,14 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 @functools.partial(jax.jit,
                    static_argnames=("n_streams", "in_pages", "out_pages",
                                     "lc", "lp", "pb", "n_chunks",
-                                    "interpret", "ablate_spec"))
+                                    "interpret", "ablate_spec", "has_copy"))
 def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
-                 lc, lp, pb, n_chunks=1, interpret=False, ablate_spec=""):
+                 lc, lp, pb, n_chunks=1, interpret=False, ablate_spec="",
+                 has_copy=False):
     max_iters = out_pages * PAGE + 4096
     kernel, tot_pages = _make_kernel(n_streams, in_pages, out_pages,
                                      lc, lp, pb, max_iters, n_chunks,
-                                     ablate_spec)
+                                     ablate_spec, has_copy)
     n = n_streams
     return pl.pallas_call(
         kernel,
@@ -1059,12 +1153,13 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
                   interpret: bool | None = None):
     """Enqueue one decode call of multi-chunk groups (async dispatch).
 
-    src: [S, pack_cap] uint8 — each stream holds its group's LZMA chunk
-    BODIES (5-byte RC header + payload each) back to back, no LZMA2 chunk
-    headers.  pack_ends/unpack_ends: [S, C] int32 cumulative ends per
-    chunk; flags: [S, C] (bit0 valid, bit1 state reset — chunk 0 must NOT
-    set bit1, the kernel starts fresh).  Invalid (padding) chunk entries
-    must repeat the previous cumulative values with flags=0.
+    src: [S, pack_cap] uint8 — each stream holds its group's chunk BODIES
+    (LZMA: 5-byte RC header + payload; uncompressed copy chunks: the raw
+    bytes) back to back, no LZMA2 chunk headers.  pack_ends/unpack_ends:
+    [S, C] int32 cumulative ends per chunk; flags: [S, C] (bit0 valid,
+    bit1 state reset — chunk 0 must NOT set bit1, the kernel starts
+    fresh; bit2 uncompressed copy chunk).  Invalid (padding) chunk
+    entries must repeat the previous cumulative values with flags=0.
 
     JAX dispatch is asynchronous: the returned (dic, status) device arrays
     materialize later, so callers can queue several batches back-to-back
@@ -1079,7 +1174,8 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
         n_streams=n, in_pages=in_pages, out_pages=out_pages,
         lc=lc, lp=lp, pb=pb, n_chunks=n_chunks,
         interpret=_resolve_interpret(interpret),
-        ablate_spec=_ablate_env())
+        ablate_spec=_ablate_env(),
+        has_copy=bool((np.asarray(flags) & 4).any()))
 
 
 def _resolve_interpret(interpret):
@@ -1140,11 +1236,13 @@ def submit_groups_sharded(src: np.ndarray, pack_ends: np.ndarray,
     ndev = mesh.shape[axis]
     assert n % ndev == 0, (n, ndev)
     interpret = _resolve_interpret(interpret)
+    has_copy = bool((np.asarray(flags) & 4).any())
 
     def per_device(m, w):
         return _decode_call(m, w, n_streams=n // ndev, in_pages=in_pages,
                             out_pages=out_pages, lc=lc, lp=lp, pb=pb,
-                            n_chunks=n_chunks, interpret=interpret)
+                            n_chunks=n_chunks, interpret=interpret,
+                            has_copy=has_copy)
 
     lane_spec = PartitionSpec(None, axis, None)
     f = shard_map(per_device, mesh=mesh,

@@ -26,7 +26,7 @@ from ..ops import match_find
 
 def encode_lzma2_device(data: bytes, *, dict_size: int = 1 << 16,
                         chunk_size: int = 1 << 16, lanes: int = 32,
-                        n_cand: int = 12, lc: int = 3, lp: int = 0,
+                        n_cand: int = 24, lc: int = 3, lp: int = 0,
                         pb: int = 2, effort: int = 9) -> tuple[bytes, int]:
     """Encode to a parallel-group LZMA2 stream; returns (stream, prop).
 

@@ -3,24 +3,35 @@
 The reference's MtCoder spreads blocks over CPU threads only
 (``MtCoder.c:185-224``); a TPU host has two kinds of silicon — a few host
 cores running the scalar engine at O(10) MB/s each, and the chip running
-the lane-parallel Pallas kernel.  This scheduler uses both at once:
+the lane-parallel Pallas kernel.  This scheduler uses both at once, with
+three guarantees the round-2 version lacked (it was 4.4x slower than
+host-only because the device claimed a fixed quarter of the queue and
+claimed groups could never be reclaimed):
 
-* dict-reset groups are independent work items (``Lzma2Dec.c:14-26``);
-* host worker threads pop groups from the TAIL of the queue (the native
-  engine releases the GIL, so N workers = N cores);
-* the device feeder takes ``n_lanes``-sized batches from the HEAD,
-  pipelining submit/finalize so device compute overlaps the D2H fetch of
-  the previous batch;
-* results land in a per-group slot table — a deterministic ordered gather
-  keyed by group index (the write-token-ring equivalent).
-
-The split adapts automatically: whichever engine drains faster takes more
-groups, with no rate model needed.
+* **Rate-proportional device batches.**  The feeder sizes each batch to
+  the device's *measured* share of the combined drain rate (kernel wall
+  time per batch scales with the compiled lane count, so a small batch in
+  a small compiled shape really is proportionally cheaper).  A slow
+  device takes a small slice; a fast one takes up to ``shape.n_lanes``
+  per batch.  The first batch of each compiled shape is treated as
+  warmup and excluded from the rate estimate (remote compile on the
+  tunnel would otherwise poison it to ~0).
+* **First-result-wins slots.**  Every group's result slot is claimed
+  under a lock exactly once (the deterministic ordered gather keyed by
+  group index); whichever engine finishes a group first owns it.
+* **Host steal-back.**  When the queue drains while device batches are
+  still in flight, host workers re-decode those batches' unfinished
+  groups (newest batch first, back to front) instead of idling — the run
+  can never end on a device-tail stall, so hybrid >= host-only by
+  construction (the reference's token rings have the same no-stall
+  property, ``MtCoder.c:185-224``).
 """
 
 from __future__ import annotations
 
+import os
 import threading
+import time
 from collections import deque
 
 from ..models.lzma2 import framing
@@ -29,91 +40,149 @@ from .host_pool import decode_group_native
 from .scheduler import BatchShape, BatchedLzma2Decoder
 
 
+def _pow2_ceil(k: int) -> int:
+    return 1 << max(2, (k - 1).bit_length())
+
+
 def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
                         shape: BatchShape | None = None,
                         threads: int | None = None,
                         device: bool = True) -> bytes:
     """Decode an LZMA2 stream on host threads + the device concurrently."""
-    import os
-
     framing.decode_dict_prop(dict_prop)  # validate
     chunks, _ = framing.scan(stream)
     groups = framing.split_groups(chunks)
     n_groups = len(groups)
     if shape is None:
-        dic_cap = max((sum(c.unpack_size for c in g) for g in groups),
-                      default=1 << 16)
-        dic_cap = -(-dic_cap // 4096) * 4096
-        pack_cap = max((sum(c.pack_size for c in g) for g in groups),
-                       default=1 << 16)
-        pack_cap = -(-pack_cap // 4096) * 4096
-        shape = BatchShape(n_lanes=32, pack_cap=pack_cap, dic_cap=dic_cap)
+        from ..utils.memory import shape_for_groups
+        shape = shape_for_groups(groups)
     dec = BatchedLzma2Decoder(shape, engine="pallas")
 
     results: list[bytes | None] = [None] * n_groups
-    # queue of device-eligible group indices; host-only groups are decoded
-    # by the host workers regardless
+    done = [False] * n_groups
+    gsize = [sum(c.unpack_size for c in g) for g in groups]
     lock = threading.Lock()
-    todo: deque[int] = deque(range(n_groups))
+    # eligibility is static per group: split the queue up front
+    dev_ok: deque[int] = deque()
+    host_first: deque[int] = deque()
+    for gi, g in enumerate(groups):
+        # pure-copy groups are a host memcpy — never worth the D2H
+        if dec._eligible(g) and any(c.is_lzma for c in g):
+            dev_ok.append(gi)
+        else:
+            host_first.append(gi)
+    inflight: dict[int, list[int]] = {}   # batch key -> unstolen group idxs
     errors: list[Exception] = []
+    t0_all = time.monotonic()
+    rates = {"host_bytes": 0.0, "dev_bytes": 0.0, "dev_time": 0.0}
+    warmed_shapes: set[int] = set()
 
-    def pop_tail() -> int | None:
+    def claim(gi: int, data: bytes, who: str) -> None:
+        """First-result-wins slot write + rate accounting."""
         with lock:
-            return todo.pop() if todo else None
+            if done[gi]:
+                return
+            done[gi] = True
+            results[gi] = data
+            rates[who] += gsize[gi]
 
-    def pop_head_batch(k: int) -> list[int]:
-        out = []
+    def pop_host() -> int | None:
         with lock:
-            while todo and len(out) < k:
-                gi = todo[0]
-                g = groups[gi]
-                # kernel lanes start with fresh probs: chunk 0 must be a
-                # state-reset chunk (scheduler.decode_groups applies the
-                # same gate)
-                if not dec._eligible(g) or g[0].mode < framing.MODE_STATE:
-                    break  # let a host worker take it from the head too
-                out.append(todo.popleft())
-            if not out and todo:
-                # head group ineligible: rotate it to a host worker by
-                # popping it ourselves and decoding on the host path
-                out.append(-1 - todo.popleft())
-        return out
+            if host_first:
+                return host_first.popleft()
+            if dev_ok:
+                return dev_ok.pop()
+            # steal-back: newest in-flight batch, back to front (the
+            # groups the device's ordered finalize will reach last)
+            for key in sorted(inflight, reverse=True):
+                batch = inflight[key]
+                while batch:
+                    gi = batch.pop()
+                    if not done[gi]:
+                        return gi
+            return None
 
     def host_worker():
         while not errors:
-            gi = pop_tail()
+            gi = pop_host()
             if gi is None:
                 return
             try:
-                results[gi] = decode_group_native(stream, groups[gi],
-                                                  dict_prop)
+                data = decode_group_native(stream, groups[gi], dict_prop)
             except Exception as e:  # noqa: BLE001
                 errors.append(DataError(
                     f"host decode failed for group {gi}: {e}"))
                 return
+            claim(gi, data, "host_bytes")
+
+    def host_rate() -> float:
+        dt = time.monotonic() - t0_all
+        return rates["host_bytes"] / dt if dt > 0.2 else 0.0
+
+    def dev_rate() -> float | None:
+        if rates["dev_time"] <= 0:
+            return None                  # not yet measured
+        return rates["dev_bytes"] / rates["dev_time"]
+
+    def take_dev_batch() -> list[int]:
+        """Size a batch to the device's measured share of the drain."""
+        with lock:
+            remaining = len(dev_ok)
+        if remaining == 0:
+            return []
+        dr = dev_rate()
+        if dr is None:
+            k = 4                        # probe/warmup batch
+        else:
+            hr = host_rate()
+            share = dr / (dr + hr) if hr > 0 else 1.0
+            k = max(4, int(remaining * share))
+        k = min(shape.n_lanes, _pow2_ceil(min(k, remaining)))
+        out: list[int] = []
+        with lock:
+            while dev_ok and len(out) < k:
+                out.append(dev_ok.popleft())
+        return out
+
+    def finalize(key: int, idxs: list[int], handle, t_sub: float,
+                 n_lanes: int):
+        outs = dec._finalize_batch_pallas(
+            handle, [groups[i] for i in idxs], stream, idxs)
+        dt = time.monotonic() - t_sub
+        with lock:
+            inflight.pop(key, None)
+        if n_lanes in warmed_shapes:
+            rates["dev_time"] += dt
+        else:
+            warmed_shapes.add(n_lanes)   # first use = compile, not rate
+        # dev_bytes is only credited for slots the device actually won
+        # (claim handles that), so the rate reflects useful device work
+        for gi, data in zip(idxs, outs):
+            claim(gi, data, "dev_bytes")
 
     def device_feeder():
-        pending: deque[tuple[list[int], object]] = deque()
+        pending: deque[tuple[int, list[int], object, float, int]] = deque()
+        key_ctr = 0
         try:
             while not errors:
-                batch = pop_head_batch(shape.n_lanes)
-                host_side = [-1 - gi for gi in batch if gi < 0]
-                batch = [gi for gi in batch if gi >= 0]
-                for gi in host_side:
-                    results[gi] = decode_group_native(stream, groups[gi],
-                                                      dict_prop)
+                batch = take_dev_batch()
                 if batch:
+                    n_lanes = _pow2_ceil(len(batch))
+                    key_ctr += 1
+                    with lock:
+                        # registered BEFORE the submit so hosts can steal
+                        # these groups during host-side batch packing too
+                        inflight[key_ctr] = list(batch)
+                    t0 = time.monotonic()
                     handle = dec._submit_batch_pallas(
-                        stream, [groups[i] for i in batch])
-                    pending.append((batch, handle))
+                        stream, [groups[i] for i in batch],
+                        n_lanes=n_lanes)
+                    pending.append((key_ctr, batch, handle, t0, n_lanes))
                 # keep at most 2 in flight: finalize the oldest so device
-                # compute overlaps D2H + host unpack of the previous batch
-                while len(pending) > (1 if (todo or batch) else 0):
-                    idxs, handle = pending.popleft()
-                    outs = dec._finalize_batch_pallas(
-                        handle, [groups[i] for i in idxs], stream, idxs)
-                    for gi, data in zip(idxs, outs):
-                        results[gi] = data
+                # compute overlaps D2H + host unpack of the next batch
+                while len(pending) > (1 if batch else 0):
+                    key, idxs, handle, t0, nl = pending.popleft()
+                    finalize(key, idxs, handle, t0, nl)
                 if not batch and not pending:
                     return
         except Exception as e:  # noqa: BLE001

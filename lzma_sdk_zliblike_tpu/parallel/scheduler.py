@@ -40,9 +40,9 @@ class BatchedLzma2Decoder:
 
     engine="xla": the pure-XLA lockstep kernel (``ops/batched_decode``).
     engine="pallas": the Mosaic kernel (``ops/pallas_decode``) — the whole
-    group (all its chunks, with state carry and per-chunk RC/prob resets)
-    runs on the vector core; groups containing uncompressed copy chunks
-    or >128 chunks fall back to the XLA path.
+    group (all its chunks, with state carry and per-chunk RC/prob resets,
+    uncompressed copy chunks included) runs on the vector core; groups
+    with >128 chunks fall back to the XLA path.
     """
 
     def __init__(self, shape: BatchShape = BatchShape(),
@@ -58,11 +58,29 @@ class BatchedLzma2Decoder:
             return False
         if self.engine == "pallas":
             # in-kernel chunk loop: concatenated bodies share the packed
-            # source buffer; ≤128 chunks per group (table lane limit)
+            # source buffer; ≤128 chunks per group (table lane limit);
+            # copy chunks run in-kernel (phase 0.5 mover) provided the
+            # stream is well-formed (state reset on the LZMA chunk after
+            # a copy chunk, Lzma2Dec.c:14-26 grammar)
             if len(group) > 128:
                 return False
             if sum(c.pack_size for c in group) > s.pack_cap:
                 return False
+            need_reset = True   # fresh kernel probs need a reset chunk
+            for c in group:
+                if not c.is_lzma:
+                    if c.pack_size != c.unpack_size:
+                        return False
+                    need_reset = True
+                    continue
+                if need_reset and c.mode < framing.MODE_STATE:
+                    return False
+                if c.props is not None and \
+                        (c.props.lc, c.props.lp, c.props.pb) != \
+                        (s.lc, s.lp, s.pb):
+                    return False
+                need_reset = False
+            return True
         for c in group:
             if not c.is_lzma:
                 return False
@@ -106,7 +124,8 @@ class BatchedLzma2Decoder:
         for lane_idx in batches:
             lane_groups = [groups[i] for i in lane_idx]
             if self.engine == "pallas" and all(
-                    g[0].mode >= framing.MODE_STATE for g in lane_groups):
+                    not g[0].is_lzma or g[0].mode >= framing.MODE_STATE
+                    for g in lane_groups):
                 pending.append((lane_idx, self._submit_batch_pallas(
                     stream, lane_groups)))
             else:
@@ -120,12 +139,30 @@ class BatchedLzma2Decoder:
                 results[gi] = data
         return results  # type: ignore[return-value]
 
+    def _pack_batch_pallas(self, stream: bytes,
+                           lane_groups: list[list[framing.Chunk]]):
+        """Assemble (meta, words, dims) for one kernel call, host-side."""
+        from ..ops import pallas_decode as P
+
+        src, pe, ue, fl, act, n_chunks = self._assemble(stream, lane_groups)
+        return P._prep_groups(src, pe, ue, fl, act, dic_cap=self.shape.dic_cap)
+
     def _submit_batch_pallas(self, stream: bytes,
-                             lane_groups: list[list[framing.Chunk]]):
+                             lane_groups: list[list[framing.Chunk]],
+                             n_lanes: int | None = None):
         from ..ops import pallas_decode as P
 
         s = self.shape
-        n = s.n_lanes
+        src, pe, ue, fl, act, _ = self._assemble(stream, lane_groups,
+                                                 n_lanes)
+        return P.submit_groups(src, pe, ue, fl, act, dic_cap=s.dic_cap,
+                               lc=s.lc, lp=s.lp, pb=s.pb)
+
+    def _assemble(self, stream: bytes,
+                  lane_groups: list[list[framing.Chunk]],
+                  n_lanes: int | None = None):
+        s = self.shape
+        n = n_lanes or s.n_lanes
         n_chunks = max(len(g) for g in lane_groups)
         src = np.zeros((n, s.pack_cap), np.uint8)
         pe = np.zeros((n, n_chunks), np.int32)
@@ -141,14 +178,15 @@ class BatchedLzma2Decoder:
                 acc_u += c.unpack_size
                 pe[li, j] = acc_p
                 ue[li, j] = acc_u
-                fl[li, j] = 1 | (2 if (j > 0 and
-                                       c.mode >= framing.MODE_STATE) else 0)
+                fl[li, j] = (1
+                             | (2 if (j > 0 and c.is_lzma and
+                                      c.mode >= framing.MODE_STATE) else 0)
+                             | (0 if c.is_lzma else 4))
             # padding entries repeat the final cumulative values, flags 0
             pe[li, len(g):] = acc_p
             ue[li, len(g):] = acc_u
             act[li] = 1
-        return P.submit_groups(src, pe, ue, fl, act, dic_cap=s.dic_cap,
-                               lc=s.lc, lp=s.lp, pb=s.pb)
+        return src, pe, ue, fl, act, n_chunks
 
     def _finalize_batch_pallas(self, handle,
                                lane_groups: list[list[framing.Chunk]],

@@ -1766,6 +1766,10 @@ static int lzma2_encode_impl(const uint8_t* src, size_t n, uint8_t* dst,
         need_reset = false;
       } else {
         enc.restore(snap);
+        // the next LZMA chunk carries a state-reset flag (the grammar
+        // requires it after a copy chunk) and the decoder re-inits
+        // probs/state/reps; the encoder must match, not merely restore
+        enc.reset_state();
         size_t cpos = pos;
         while (cpos < end) {
           const size_t cend =
@@ -1925,6 +1929,7 @@ class StreamEnc {
       need_reset_ = false;
     } else {
       enc_->restore(snap);
+      enc_->reset_state();  // decoder re-inits on the post-copy reset flag
       size_t cpos = lo;
       while (cpos < lo + len) {
         const size_t cend = cpos + (1u << 16) < lo + len ? cpos + (1u << 16)

@@ -8,17 +8,40 @@ import os
 import subprocess
 import sys
 
-os.environ["JAX_PLATFORMS"] = "cpu"  # the shell exports axon (tunneled TPU)
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
-).strip()
-# The tunneled-TPU plugin site dir hijacks the backend even under
-# JAX_PLATFORMS=cpu (and device transfers block under pytest); tests run on
-# the virtual CPU mesh, so drop it from both this process and children.
+# The tunneled-TPU plugin registers its PJRT backend from a sitecustomize
+# on PYTHONPATH at *interpreter startup* — before this conftest runs — so
+# scrubbing sys.path here is too late: the suite-level hang of round 2
+# (blocked in tcp_recvmsg on the tunnel relay) came from that in-process
+# registration.  The only reliable scrub point is a fresh interpreter:
+# re-exec pytest once with a cleaned environment (no .axon_site on
+# PYTHONPATH, JAX_PLATFORMS=cpu, 8 virtual CPU devices for mesh tests).
+# The exec happens in pytest_configure below, NOT at import time: during
+# initial conftest loading pytest's fd-level capture has fd 1/2 pointed at
+# capture temp files, and an exec there runs the whole suite silently;
+# by pytest_configure the global capture is suspended and the real fds
+# are back on 1/2.
+def _reexec_clean():
+    _env = dict(os.environ)
+    _env["LZT_TESTS_CLEAN_ENV"] = "1"
+    _env["JAX_PLATFORMS"] = "cpu"
+    _env["XLA_FLAGS"] = (_env.get("XLA_FLAGS", "")
+                         + " --xla_force_host_platform_device_count=8").strip()
+    _env["PYTHONPATH"] = ":".join(
+        p for p in _env.get("PYTHONPATH", "").split(":")
+        if p and ".axon_site" not in p)
+    # the interpret-mode pallas kernels compile for ~2 min each on CPU;
+    # the persistent cache turns reruns into ~seconds
+    _env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                    os.path.join(os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))), "build", "jax_cache"))
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest"] + sys.argv[1:], _env)
+
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # belt-and-braces for child imports
 sys.path[:] = [p for p in sys.path if ".axon_site" not in p]
-os.environ["PYTHONPATH"] = ":".join(
-    p for p in os.environ.get("PYTHONPATH", "").split(":")
-    if p and ".axon_site" not in p)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -27,6 +50,8 @@ import pytest  # noqa: E402
 
 
 def pytest_configure(config):
+    if os.environ.get("LZT_TESTS_CLEAN_ENV") != "1":
+        _reexec_clean()
     config.addinivalue_line("markers", "slow: long-running subprocess test")
 
 

@@ -168,3 +168,14 @@ def test_xz_streaming_decoder_corruption_raises(corpus):
     with pytest.raises(LzmaError):
         dec.feed(bytes(img))
         dec.finish()
+
+
+def test_xz_encode_threads_identical(corpus):
+    """threads plumb-through (XzEnc.c:431-450 MtCoder-backed path):
+    byte-identical stream at any thread count, decodable."""
+    from lzma_sdk_zliblike_tpu.containers import xz
+    data = corpus["code"][:300_000]
+    a = xz.encode(data, dict_size=1 << 16, chunk_size=1 << 14)
+    b = xz.encode(data, dict_size=1 << 16, chunk_size=1 << 14, threads=4)
+    assert a == b
+    assert xz.decode(b) == data

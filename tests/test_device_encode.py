@@ -20,8 +20,9 @@ def test_roundtrip_and_ratio():
     dev, prop = encode_lzma2_device(data, dict_size=1 << 14,
                                     chunk_size=1 << 14, lanes=8)
     assert framing.decode(dev, prop) == data
-    # candidate quality: within 0.5% of the host hash-chain finder (the
-    # 12-candidate sorted-bucket default; n_cand=16 beats the host)
+    # candidate quality: within 0.5% of the host hash-chain finder
+    # (measured on this corpus: the 24+12-candidate sorted-bucket default
+    # is +0.21%; 12+6 was +0.80%, 16+8 +0.59%)
     assert len(dev) <= len(host) * 1.005, (len(dev), len(host))
 
 

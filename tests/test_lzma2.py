@@ -117,3 +117,34 @@ def test_decode_progress_and_abort(corpus):
     with _pytest.raises(ProgressAborted):
         api.lzma2_uncompress(stream, prop, threads=2,
                              progress=lambda a, b: False)
+
+
+def test_copy_fallback_mid_group_roundtrip(oracle, tmp_path):
+    """Copy chunks INSIDE a dict-sharing stream (regression, round 3).
+
+    The encoder's copy fallback restored the pre-segment model snapshot
+    but the decoder re-inits on the post-copy state-reset flag — the two
+    desynced, producing wild match distances in the next LZMA chunk.
+    Both engines and the oracle must accept the stream now.
+    """
+    import subprocess
+
+    from tests.corpus import big_mixed, random_bytes
+
+    cap = 384
+    data = (big_mixed(cap * 6) + random_bytes(cap * 8, seed=9)
+            + big_mixed(cap * 6, seed=5))
+    for eng in ("native", "python"):
+        stream, prop = framing.encode(data, dict_size=16384, chunk_size=cap,
+                                      parallel_groups=False, engine=eng)
+        chunks, _ = framing.scan(stream)
+        assert any(not c.is_lzma for c in chunks), "no copy fallback fired"
+        assert any(c.is_lzma for c in chunks)
+        assert framing.decode(stream, prop) == data
+        src = tmp_path / f"cf_{eng}.l2"
+        dst = tmp_path / f"cf_{eng}.out"
+        src.write_bytes(bytes([prop]) + stream)
+        r = subprocess.run([oracle["oracle_driver"], "lzma2d", str(src),
+                            str(dst)], capture_output=True)
+        assert r.returncode == 0, r.stderr[-200:]
+        assert dst.read_bytes() == data

@@ -119,6 +119,28 @@ assert out3[0, :1536].tobytes() == gdata
 dec2 = BatchedLzma2Decoder(BatchShape(n_lanes=8, pack_cap=2048,
                                       dic_cap=2048), engine="pallas")
 assert dec2.decode(mstream, prop) == gdata
+
+# uncompressed copy chunks IN-KERNEL (phase 0.5 mover): compressible |
+# incompressible | compressible produces mixed LZMA/copy groups via the
+# encoder's copy fallback; the whole stream must decode on the pallas path
+data4 = (big_mixed(CAP * 6) + random_bytes(CAP * 8, seed=9)
+         + big_mixed(CAP * 6, seed=5))
+# parallel_groups=False: ONE dict-sharing group whose incompressible
+# middle falls back to copy chunks between LZMA chunks
+stream4, prop4 = framing.encode(data4, dict_size=16384, chunk_size=CAP,
+                                parallel_groups=False)
+ch4, _ = framing.scan(stream4)
+g4 = framing.split_groups(ch4)
+cap4 = max(sum(c.unpack_size for c in g) for g in g4)
+pk4 = max(sum(c.pack_size for c in g) for g in g4)
+dec4 = BatchedLzma2Decoder(
+    BatchShape(n_lanes=8, pack_cap=pk4 + 64, dic_cap=cap4),
+    engine="pallas")
+mixed = [g for g in g4 if any(c.is_lzma for c in g)
+         and any(not c.is_lzma for c in g) and dec4._eligible(g)]
+assert mixed, ("corpus produced no mixed LZMA/copy group",
+               [[c.is_lzma for c in g] for g in g4])
+assert dec4.decode(stream4, prop4) == data4
 print("PALLAS_INTERPRET_OK", flush=True)
 """
 
