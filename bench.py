@@ -46,7 +46,7 @@ Encode/round-trip (the north star is round-trip):
 The headline metric is the best decode engine; every number is reported.
 
 Env knobs: LZT_BENCH_MB (corpus MB, default 128), LZT_BENCH_LANES (device
-batch lanes, default 32), LZT_BENCH_BLOCK (group bytes, default 1MB),
+batch lanes, default 64), LZT_BENCH_BLOCK (group bytes, default 1MB),
 LZT_BENCH_TIMEOUT (seconds, default 1400), LZT_BENCH_REPS (default 3),
 LZT_BENCH_SKIP_BIGBLOCK=1 to skip the 64 MB-block config.
 """
@@ -101,7 +101,7 @@ def oracle_stream(data: bytes, block: int, cache_key: str) -> bytes:
 
 def main() -> int:
     mb = int(os.environ.get("LZT_BENCH_MB", "128"))
-    lanes = int(os.environ.get("LZT_BENCH_LANES", "32"))
+    lanes = int(os.environ.get("LZT_BENCH_LANES", "64"))
     block = int(os.environ.get("LZT_BENCH_BLOCK", str(1 << 20)))
     reps = int(os.environ.get("LZT_BENCH_REPS", "3"))
     timeout_s = int(os.environ.get("LZT_BENCH_TIMEOUT", "1400"))
@@ -332,11 +332,14 @@ def _compute_rate(stream, groups, shape):
     meta_d = jnp.asarray(meta)
     words_d = jnp.asarray(words)
 
+    has_copy = bool((np.asarray(meta[5]) & 4).any())
+
     def run():
         return P._decode_call(
             meta_d, words_d, n_streams=n, in_pages=in_pages,
             out_pages=out_pages, lc=shape.lc, lp=shape.lp, pb=shape.pb,
-            n_chunks=n_chunks, interpret=P._resolve_interpret(None))
+            n_chunks=n_chunks, interpret=P._resolve_interpret(None),
+            has_copy=has_copy)
 
     np.asarray(run()[1])  # warm/sync
     t = time.time()

@@ -71,6 +71,14 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.lzt_crc32.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
     lib.lzt_crc64.restype = ctypes.c_uint64
     lib.lzt_crc64.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint64]
+    lib.lzt_sha256.restype = None
+    lib.lzt_sha256.argtypes = [u8p, ctypes.c_size_t, u8p]
+    lib.lzt_sha256_init.restype = None
+    lib.lzt_sha256_init.argtypes = [ctypes.c_void_p]
+    lib.lzt_sha256_update.restype = None
+    lib.lzt_sha256_update.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t]
+    lib.lzt_sha256_final.restype = None
+    lib.lzt_sha256_final.argtypes = [ctypes.c_void_p, u8p]
     lib.lzt_lzma2_encode.restype = ctypes.c_int
     lib.lzt_lzma2_encode.argtypes = [
         u8p, ctypes.c_size_t,
@@ -289,6 +297,35 @@ def crc32(data: bytes, value: int = 0) -> int:
 def crc64(data: bytes, value: int = 0) -> int:
     lib = _load()
     return lib.lzt_crc64(_as_u8p(data), len(data), value)
+
+
+def sha256(data: bytes) -> bytes:
+    """One-shot SHA-256 via the owned native impl (lzt_sha256.cc)."""
+    lib = _load()
+    out = (ctypes.c_uint8 * 32)()
+    lib.lzt_sha256(_as_u8p(data), len(data), out)
+    return bytes(out)
+
+
+class Sha256:
+    """Streaming SHA-256 (the reference's Init/Update/Final shape)."""
+
+    def __init__(self):
+        self._lib = _load()
+        self._blob = (ctypes.c_uint8 * 112)()
+        self._lib.lzt_sha256_init(self._blob)
+
+    def update(self, data) -> None:
+        b = bytes(memoryview(data))
+        self._lib.lzt_sha256_update(self._blob, _as_u8p(b), len(b))
+
+    def digest(self) -> bytes:
+        # finalize a COPY so update() can continue afterwards
+        blob = (ctypes.c_uint8 * 112)()
+        ctypes.memmove(blob, self._blob, 112)
+        out = (ctypes.c_uint8 * 32)()
+        self._lib.lzt_sha256_final(blob, out)
+        return bytes(out)
 
 
 class Lzma2StreamEncoder:

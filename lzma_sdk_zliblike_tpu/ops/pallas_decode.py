@@ -125,6 +125,9 @@ ST_PDIST = 8
 ST_ERR = 9
 ST_PIPG = 10      # staged input page at last staging (event detection)
 ST_PCW = 11       # write word-page at last staging (event detection)
+# (measured dead end: moving limit/cmode out of the while carry into st
+# lanes to cut spill pressure REGRESSED S=64/128 by ~6-8 us/iter — the
+# per-use register gathers cost more than the spilled carries)
 
 
 # ---------------------------------------------------------------------------
@@ -134,13 +137,15 @@ ST_PCW = 11       # write word-page at last staging (event detection)
 def _family_layout(lc: int, lp: int):
     """Assign each probability family a page range in the fams scratch.
 
-    Probabilities are 11-bit values; each int32 lane word packs TWO
-    adjacent entries (16 bits each), so a 128-lane page holds 256 family
-    entries — half the page-select gathers/stores per bit decode and half
-    the VMEM of the 1-entry-per-word layout (measured v9: the lit-family
-    page loops were the largest single bit-call cost).
+    Families wider than one 128-lane page pack TWO 11-bit probabilities
+    per int32 lane word (16 bits each, 256 entries/page): half the
+    page-select gathers/stores per bit decode where the page loops are
+    the cost (the high literal-tree levels).  Single-page families stay
+    one-entry-per-word — measured (v10 ablation, S=128): packing them
+    too added ~8 us/iter of extract/merge overhead for zero loop savings.
 
-    Returns (layout dict name -> (first_page, width, n_pages), total_pages).
+    Returns (layout dict name -> (first_page, width, n_pages, packed),
+    total_pages).
     """
     nls = 1 << (lc + lp)
     fams = [
@@ -164,13 +169,15 @@ def _family_layout(lc: int, lp: int):
     layout = {}
     page = 0
     for name, width in fams:
-        npg = -(-width // (2 * PAGE))       # 256 packed entries per page
-        layout[name] = (page, width, npg)
+        packed = width > PAGE
+        npg = -(-width // (2 * PAGE)) if packed else 1
+        layout[name] = (page, width, npg, packed)
         page += npg
     return layout, page
 
 
-# both 16-bit halves initialized to PROB_INIT (= 1024)
+# packed pages initialize both 16-bit halves to PROB_INIT (= 1024);
+# unpacked pages read only the low half, where the two layouts agree
 _PROB_INIT2 = np.int32((S.PROB_INIT << 16) | S.PROB_INIT)
 
 
@@ -212,6 +219,11 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                  lc: int, lp: int, pb: int, max_iters: int, n_chunks: int,
                  ablate_spec: str = "", has_copy: bool = False):
     layout, tot_pages = _family_layout(lc, lp)
+    pg_init = [int(S.PROB_INIT)] * tot_pages
+    for _nm, (_b, _w, _npg, _pk) in layout.items():
+        if _pk:
+            for _i in range(_npg):
+                pg_init[_b + _i] = int(_PROB_INIT2)
     spec, _, it_s = ablate_spec.partition("@")
     ablate = set(filter(None, spec.split(",")))
     fixed_iters = int(it_s or "0")
@@ -250,7 +262,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                      # truncate those back to i1 masks)
 
         # ---- init ---------------------------------------------------------
-        fam_ref[:] = jnp.full((tot_pages, n, PAGE), _PROB_INIT2, _I32)
+        for _p in range(tot_pages):
+            fam_ref[_p] = jnp.full((n, PAGE), pg_init[_p], _I32)
         w_ref[:] = zero
         cp0 = pltpu.make_async_copy(src_ref.at[0], i0_ref, isem)
         cp0.start()
@@ -285,23 +298,28 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
         sid = jax.lax.broadcasted_iota(_I32, (n, PAGE), 0)
 
+        ngr = -(-n // 32)  # stream groups of 32 for packed event words
+        EVL = PAGE - 32    # event words: row 0, lanes EVL..EVL+ngr-1
+        EVQ = PAGE - 64    # bf16 dot columns: 4 per group, lanes EVQ+4g..
+
         def _pack_events(evt):
             """[n,PAGE] 0/1 (lane-uniform) -> ONE [n,PAGE] array whose row 0
             holds group g's packed 32-bit event word at lane EVL+g.
 
-            v10: a single sublane-axis sum replaces the per-group sums of
-            v8/v9 (measured: the per-group version cost ~8.7 us/iter at
-            S=128, twice per iteration — the dominant lane-scaling term).
-            Each stream owns a distinct bit of a distinct lane, so the sum
-            IS the bitwise OR; bit 31's int32 wrap is benign.
+            Per-group masked sublane sums (each stream owns a distinct bit,
+            so sum == OR; bit 31's int32 wrap is benign).  Two fancier
+            forms were measured SLOWER on-chip (round 3): a single fused
+            sublane sum over all groups, and an MXU bf16 dot with byte
+            columns — both ~+3-4 us/iter vs this at S=32 and no better at
+            S=128.  The reduction itself is the cost, not its count.
             """
-            contrib = jnp.where((sid >> 5) + EVL == lane_i,
-                                evt << (sid & 31), 0)
-            col = jnp.sum(contrib, axis=0)           # [PAGE]
-            return jnp.where(sid == 0, col[None, :], 0)
-
-        ngr = -(-n // 32)  # stream groups of 32 for packed event words
-        EVL = PAGE - 32    # event words: row 0, lanes EVL..EVL+ngr-1
+            shifted = evt << (sid & 31)
+            rows = jnp.zeros((n, PAGE), _I32)
+            for g in range(ngr):
+                gw = jnp.sum(jnp.where((sid >> 5) == g, shifted, 0), axis=0)
+                rows = jnp.where((sid == 0) & (lane_i == EVL + g),
+                                 gw[None, :][:, EVL + g:EVL + g + 1], rows)
+            return rows
 
         def scalar_stage():
             """Event-gated per-stream staging driven by packed x_ref words.
@@ -424,6 +442,45 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
         CHECK_EVERY = 64  # busy-check period (power of two)
 
+        def emit_stage(st, inpos, outpos, limit, cmodeb, force=False):
+            """Write the NEXT iteration's staging words + event mirrors.
+
+            Called at the END of each body iteration (and at chunk
+            transitions, force=True), so the scalar core's event reads at
+            the next iteration's start consume an x_ref store the vector
+            core issued a full iteration earlier — the read-after-write
+            sync no longer stalls the scalar pipeline mid-iteration
+            (software pipelining of phase 0).
+
+            x_ref layout: lane 0 = staged input page | need-m flag bit 29;
+            lane 1 = matched-byte word page; lane 2 = current output word
+            page; row 0 lanes EVL.. = packed event words.
+            """
+            ipg = inpos >> 9
+            cur_w = outpos >> 9
+            err0 = getv(st, ST_ERR) != 0
+            do = (active0 & ~err0 & ~cmodeb & (outpos < limit)
+                  & (getv(st, ST_PLEN) == 0))
+            mpos = jnp.clip(outpos - getv(st, ST_REP0) - 1, 0, dic_cap - 1)
+            m_w = mpos >> 9
+            need_m = do & (getv(st, ST_STATE) >= 7) & (m_w != cur_w)
+            packed = (jnp.clip(ipg, 0, in_pages - 1)
+                      | jnp.where(need_m, 1 << 29, 0))
+            if force:
+                evt = zero + 1
+            else:
+                evt = jnp.where((ipg != getv(st, ST_PIPG))
+                                | (cur_w != getv(st, ST_PCW)) | need_m,
+                                1, 0)
+            st = setv(st, ST_PIPG, ipg)
+            st = setv(st, ST_PCW, cur_w)
+            erows = zero if "events" in ablate else _pack_events(evt)
+            x_ref[:] = jnp.where(lane_i == 0, packed,
+                                 jnp.where(lane_i == 1, m_w,
+                                           jnp.where(lane_i == 2, cur_w,
+                                                     erows)))
+            return st
+
         def body(carry):
             (it, busy_s, rng, code, inpos, st, limit, cmode_i) = carry
             cmodeb = cmode_i != 0
@@ -463,6 +520,9 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # ``cur_w`` (literals write 1 byte; copies are capped at the
             # word-page end), so pages < cur_w are always complete in
             # out_ref.
+            # The staging words for THIS iteration were emitted at the end
+            # of the previous one (emit_stage) — the scalar core only
+            # consumes here (software-pipelined phase 0).
             ipg = inpos >> 9
             cur_w = outpos >> 9
             rep0c = getv(st, ST_REP0)
@@ -472,28 +532,6 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                   & (getv(st, ST_PLEN) == 0))
             mpos = jnp.clip(outpos - rep0c - 1, 0, dic_cap - 1)
             m_w = mpos >> 9
-            need_m = do & (statec >= 7) & (m_w != cur_w)
-            # Staging word per stream (lane 0): scalar VMEM reads are the
-            # expensive part of the staging loop, but since v10 the reads
-            # are event-gated (packed event words below), so the write
-            # word-page rides in its own lane 2 (full 32 bits — 64 MB+
-            # groups) and is read by the scalar core only on an event.
-            # The wide matched-byte page rides in lane 1, read only when
-            # bit 29 flags it.
-            packed = (jnp.clip(ipg, 0, in_pages - 1)
-                      | jnp.where(need_m, 1 << 29, 0))
-            # per-stream event bits (input-page advance / write-page flush /
-            # matched-row load), packed 32 streams per word so the scalar
-            # core skips event-free streams entirely
-            evt = jnp.where((ipg != getv(st, ST_PIPG))
-                            | (cur_w != getv(st, ST_PCW)) | need_m, 1, 0)
-            st = setv(st, ST_PIPG, ipg)
-            st = setv(st, ST_PCW, cur_w)
-            erows = zero if "events" in ablate else _pack_events(evt)
-            x_ref[:] = jnp.where(lane_i == 0, packed,
-                                 jnp.where(lane_i == 1, m_w,
-                                           jnp.where(lane_i == 2, cur_w,
-                                                     erows)))
             scalar_stage()
 
             if has_copy:
@@ -534,6 +572,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
             def renorm(rc, do):
                 """Range renormalization: one byte from the staged pages."""
+                if "norenorm" in ablate:   # probe: renorm's share of bits
+                    return rc
                 rng, code, inpos = rc
                 need = (rng < _TOP) & do
                 off = (inpos >> 2) - (ipg << 7)
@@ -562,27 +602,38 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 for _, _, mk in parts[1:]:
                     do = do | mk
                 rng, code, inpos = renorm(rc, do)
-                # 16-bit packed tables: word index = entry >> 1, the entry's
-                # half selected by bit 0 (sh ∈ {0,16}); the gathered word is
-                # kept for the masked halfword merge at update time
+                # multi-page families use the 16-bit packed layout (word
+                # index = entry >> 1, half by bit 0, sh ∈ {0,16}); the
+                # gathered word is kept for the masked halfword merge at
+                # update time.  Single-page families read/store the lane
+                # word directly — no extract/merge overhead.
                 p = zero
                 lns = []
                 for fam, idx, mask in parts:
-                    base, width, npg = layout[fam]
+                    base, width, npg, packed = layout[fam]
                     idx = jnp.clip(idx, 0, width - 1)
-                    widx = idx >> 1
-                    ln = widx & (PAGE - 1)
-                    pg = widx >> 7
-                    sh = (idx & 1) << 4
-                    if npg == 1:
-                        wv = gat(fam_ref[base], ln)
+                    if "probconst" in ablate:   # probe: gather+store share
+                        p = zero + S.PROB_INIT
+                        continue
+                    if packed:
+                        widx = idx >> 1
+                        ln = widx & (PAGE - 1)
+                        pg = widx >> 7
+                        sh = (idx & 1) << 4
+                        if npg == 1:
+                            wv = gat(fam_ref[base], ln)
+                        else:
+                            wv = zero
+                            for i in range(npg):
+                                g = gat(fam_ref[base + i], ln)
+                                wv = jnp.where(pg == i, g, wv)
+                        pp = (wv >> sh) & 0xFFFF
                     else:
-                        wv = zero
-                        for i in range(npg):
-                            g = gat(fam_ref[base + i], ln)
-                            wv = jnp.where(pg == i, g, wv)
-                    pp = (wv >> sh) & 0xFFFF
-                    lns.append((base, npg, ln, pg, sh, wv, mask))
+                        ln = idx
+                        pg = None
+                        sh = wv = None
+                        pp = gat(fam_ref[base], ln)
+                    lns.append((base, npg, ln, pg, sh, wv, mask, packed))
                     p = pp if len(parts) == 1 else jnp.where(mask, pp, p)
                 bound = (rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
                 bit0 = code < bound
@@ -590,10 +641,15 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                     bit0,
                     p + ((S.RC_BIT_MODEL_TOTAL - p) >> S.RC_MOVE_BITS),
                     p - (p >> S.RC_MOVE_BITS))
-                for base, npg, ln, pg, sh, wv, mask in lns:
+                for base, npg, ln, pg, sh, wv, mask, packed in lns:
+                    if "noupdate" in ablate:   # probe: RMW-store share
+                        break
                     # the store mask `oh` restricts to this part's lanes,
                     # where per-lane `newp` was computed from this part's p
                     oh = (lane_i == ln) & mask
+                    if not packed:
+                        fam_ref[base] = jnp.where(oh, newp, fam_ref[base])
+                        continue
                     merged = ((wv & (((zero + 0xFFFF) << sh) ^ -1))
                               | (newp << sh))
                     if npg == 1:
@@ -961,6 +1017,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             st = setv(st, ST_PLEN, pend_len)
             st = setv(st, ST_PDIST, pend_dist)
             st = setv(st, ST_ERR, jnp.where(err, 1, 0))
+            st = emit_stage(st, inpos, outpos, limit, cmodeb)
 
             return (it + 1, busy_s, rng, code, inpos, st, limit, cmode_i)
 
@@ -997,7 +1054,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # masked probability/state reset (dictionary continues; the
             # literal context byte ST_LAST is dict content, NOT coder state)
             for p in range(tot_pages):
-                fam_ref[p] = jnp.where(reset, _PROB_INIT2, fam_ref[p])
+                fam_ref[p] = jnp.where(reset, pg_init[p], fam_ref[p])
             st = jnp.where(reset & (lane_i >= ST_STATE)
                            & (lane_i <= ST_REP3), 0, st)
 
@@ -1006,9 +1063,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             ipg0 = jnp.where(valid, pk_start >> 9, inpos >> 9)
             packed0 = jnp.clip(ipg0, 0, in_pages - 1)
             # chunk transitions force every stream through the staging body
-            # (event word all-ones) and resync the event-detection mirrors
-            st = setv(st, ST_PIPG, jnp.clip(ipg0, 0, in_pages - 1))
-            st = setv(st, ST_PCW, outpos0 >> 9)
+            # (event word all-ones) so the RC header bytes below are staged
             x_ref[:] = jnp.where(lane_i == 0, packed0,
                                  jnp.where(lane_i == 2, outpos0 >> 9,
                                            jnp.where(lane_i >= PAGE - 32,
@@ -1032,6 +1087,9 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                               jnp.where(is_copy, pk_start, inpos))
             st = setv(st, ST_ERR,
                       jnp.where(errh, 1, jnp.where(errp, 1, 0)))
+            # arm the first body iteration's staging (software pipeline)
+            st = emit_stage(st, inpos, outpos0, limit_c, is_copy,
+                            force=True)
 
             init = (jnp.int32(0), jnp.int32(1), rng, code, inpos, st,
                     limit_c, jnp.where(is_copy, 1, 0))

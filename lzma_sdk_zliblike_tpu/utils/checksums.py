@@ -82,7 +82,15 @@ def crc64(data: bytes | bytearray | memoryview, value: int = 0) -> int:
 
 
 def sha256(data: bytes) -> bytes:
-    """SHA-256 digest (reference ``Sha256_*``)."""
+    """SHA-256 digest (reference ``Sha256_*``).
+
+    Uses the owned native implementation (``native/lzt_sha256.cc``, the
+    ``Sha256.c:25-59`` counterpart) when the runtime is built; hashlib
+    otherwise (capability fallback).
+    """
+    from .. import native
+    if native.available():
+        return native.sha256(data)
     return hashlib.sha256(data).digest()
 
 

@@ -931,14 +931,67 @@ class Encoder {
                                      size_t dic_start, bool end_mark) {
     RangeEncoder rc;
     const u32 pb_mask = (1u << pb_) - 1;
-    if (!bt_ || bt_data_ != data || bt_next_ > start) {
-      bt_.reset(new BtMatchFinder(data, total_n, dict_size_, max_chain_,
-                                  nice_len_, stream_cap_));
-      bt_data_ = data;
-      bt_next_ = dic_start;
+    if (!ext_) {
+      if (!bt_ || bt_data_ != data || bt_next_ > start) {
+        bt_.reset(new BtMatchFinder(data, total_n, dict_size_, max_chain_,
+                                    nice_len_, stream_cap_));
+        bt_data_ = data;
+        bt_next_ = dic_start;
+      }
+      bt_->set_n(total_n);
+      while (bt_next_ < start) bt_->skip(bt_next_++);
     }
-    bt_->set_n(total_n);
-    while (bt_next_ < start) bt_->skip(bt_next_++);
+
+    // Device-assisted candidates for the optimal parse (the LzFindMt
+    // role, LzFindMt.c:311-429 as the behavioral target): the TPU
+    // sorted-bucket finder supplies nearest-first distances, true
+    // lengths are re-measured here, and the Pareto set (strictly
+    // increasing length over increasing distance) feeds the DP exactly
+    // like BT4's len-ascending match list.
+    auto ext_matches = [&](size_t pos_abs, unsigned* lens_o,
+                           u32* dists_o) -> int {
+      const size_t lim =
+          (total_n - pos_abs) < kMatchMaxLen ? total_n - pos_abs
+                                             : kMatchMaxLen;
+      u32 cd[64];
+      unsigned cl[64];
+      int m = 0;
+      for (int k = 0; k < ext_k_ && m < 64; k++) {
+        const int32_t d = ext_[pos_abs * (size_t)ext_k_ + k];
+        if (d <= 0 || (int64_t)pos_abs - d < (int64_t)dic_start ||
+            (u32)d > dict_size_)
+          continue;
+        if (data[pos_abs - d] != data[pos_abs]) continue;
+        const size_t ln = match_len(data + pos_abs - d, data + pos_abs, lim);
+        if (ln >= 2) {
+          cd[m] = (u32)d;
+          cl[m] = (unsigned)ln;
+          m++;
+        }
+      }
+      // insertion sort by distance ascending (tiny m)
+      for (int a = 1; a < m; a++) {
+        const u32 d0 = cd[a];
+        const unsigned l0 = cl[a];
+        int b = a - 1;
+        for (; b >= 0 && cd[b] > d0; b--) {
+          cd[b + 1] = cd[b];
+          cl[b + 1] = cl[b];
+        }
+        cd[b + 1] = d0;
+        cl[b + 1] = l0;
+      }
+      int nc = 0;
+      unsigned best = 1;
+      for (int t = 0; t < m; t++)
+        if (cl[t] > best) {
+          lens_o[nc] = cl[t];
+          dists_o[nc] = cd[t];
+          best = cl[t];
+          nc++;
+        }
+      return nc;
+    };
 
     const size_t BLOCK = 0x400;
     const size_t WMAX = BLOCK + kMatchMaxLen;
@@ -999,7 +1052,10 @@ class Encoder {
       u32 dists[64];
       size_t skip_search_until = 0;
       for (size_t j = 0; j < W; j++) {
-        if (cost[j] == 0xFFFFFFFFu) { bt_->skip(bt_next_++); continue; }
+        if (cost[j] == 0xFFFFFFFFu) {
+          if (!ext_) bt_->skip(bt_next_++);
+          continue;
+        }
         const size_t pos_abs = i + j;
         const u32 pos = (u32)(pos_abs - dic_start) + pos_base_;
         const u32 pos_state = pos & pb_mask;
@@ -1082,11 +1138,16 @@ class Encoder {
         }
         // normal matches (search skipped inside a dominating long match)
         int nc = 0;
-        if (pos_abs >= skip_search_until)
-          nc = bt_->get_matches(pos_abs, lens, dists);
-        else
-          bt_->skip(pos_abs);
-        bt_next_++;
+        if (ext_) {
+          if (pos_abs >= skip_search_until)
+            nc = ext_matches(pos_abs, lens, dists);
+        } else {
+          if (pos_abs >= skip_search_until)
+            nc = bt_->get_matches(pos_abs, lens, dists);
+          else
+            bt_->skip(pos_abs);
+          bt_next_++;
+        }
         if (nc > 0 && lens[nc - 1] >= 128)
           skip_search_until = pos_abs + lens[nc - 1] - 1;
         const u32 nm_head = match_head + price_bit(IS_REP + st, 0);
@@ -1157,7 +1218,9 @@ class Encoder {
           emit_match(rc, data, pos_abs, dic_start, od - 2, l);
         }
       }
-      while (bt_next_ < i + je) bt_->skip(bt_next_++);
+      if (!ext_) {
+        while (bt_next_ < i + je) bt_->skip(bt_next_++);
+      }
       i += je;
     }
 
@@ -1736,7 +1799,7 @@ static int lzma2_encode_impl(const uint8_t* src, size_t n, uint8_t* dst,
     const size_t gn = group_end - group_start;
     // device candidates index positions relative to the group slice; the
     // optimal parser keeps its own deeper finder
-    if (ext && effort < 10)
+    if (ext)
       enc.set_ext_candidates(ext + group_start * (size_t)ext_k, ext_k);
     enc.reset_state();
     bool first = true;

@@ -33,3 +33,27 @@ def test_rolling_updates():
     s.update(data[:1000])
     s.update(data[1000:])
     assert s.digest() == CK.sha256(data)
+
+
+def test_native_sha256_matches_hashlib():
+    """Owned SHA-256 (native/lzt_sha256.cc) vs hashlib on boundary sizes."""
+    import hashlib
+
+    import pytest
+
+    from lzma_sdk_zliblike_tpu import native
+    if not native.available():
+        pytest.skip("native runtime not built")
+    from tests.corpus import random_bytes
+    for n in (0, 1, 55, 56, 63, 64, 65, 119, 128, 1000, 1 << 16):
+        data = random_bytes(n, seed=n + 1)
+        assert native.sha256(data) == hashlib.sha256(data).digest(), n
+    # streaming: odd-sized updates + mid-stream digest
+    h = native.Sha256()
+    ref = hashlib.sha256()
+    data = random_bytes(100_000, seed=3)
+    for off in (0, 1, 63, 64, 100, 5000, 99_000):
+        chunk = data[off:off + 977]
+        h.update(chunk)
+        ref.update(chunk)
+        assert h.digest() == ref.digest()

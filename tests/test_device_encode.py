@@ -54,3 +54,32 @@ def test_reference_decodes_device_stream(oracle):
                        capture_output=True)
     assert r.returncode == 0, r.stderr[-300:]
     assert open(out, "rb").read() == data
+
+
+def test_device_candidates_feed_optimal_parse(oracle):
+    """Device candidates can drive the effort-10 optimal parse.
+
+    (The LzFindMt role, LzFindMt.c:311-429.  Measured round 3: removing
+    the persistent BT4 finder buys only ~7% native-side speed — the DP
+    parse dominates — and bucket candidates cost ~+2% size at effort 10,
+    so the BT4 path remains the size-parity default; this test pins the
+    capability and its validity, not a perf claim.)
+    """
+    import os
+    import subprocess
+    import tempfile
+    from lzma_sdk_zliblike_tpu.parallel.device_encode import \
+        encode_lzma2_device
+    data = big_mixed(300_000, seed=11)
+    dev, prop = encode_lzma2_device(data, dict_size=1 << 14,
+                                    chunk_size=1 << 14, lanes=8, effort=10)
+    assert framing.decode(dev, prop) == data
+    d = tempfile.mkdtemp()
+    inp = os.path.join(d, "in.lzma2")
+    out = os.path.join(d, "out.bin")
+    with open(inp, "wb") as f:
+        f.write(bytes([prop]) + dev)
+    r = subprocess.run([oracle["oracle_driver"], "lzma2d", inp, out],
+                       capture_output=True)
+    assert r.returncode == 0, r.stderr[-300:]
+    assert open(out, "rb").read() == data

@@ -20,7 +20,7 @@ D.initialize()
 import jax
 from lzma_sdk_zliblike_tpu.models.lzma2 import framing
 from tests.corpus import big_mixed
-data = big_mixed(1 << 19)
+data = big_mixed(1 << 18)
 # 128KB dict-reset groups of three ~48KB state-carry chunks each: the
 # device path must handle multi-chunk groups, not just single-chunk ones
 stream, prop = framing.encode(data, dict_size=1<<17, chunk_size=1<<17,

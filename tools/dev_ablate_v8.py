@@ -54,8 +54,10 @@ def main():
             ue[li, 0] = c.unpack_size
 
         for v in variants:
-            os.environ["LZT_ABLATE"] = ("noerr" if v == "full"
-                                        else f"noerr,{v}")
+            # '+'-joined variants ablate several phases at once
+            os.environ["LZT_ABLATE"] = (
+                "noerr" if v == "full"
+                else "noerr," + v.replace("+", ","))
             h = P.submit_groups(src, pe, ue, fl, act, dic_cap=block)
             np.asarray(h[1])  # compile + first exec
             best = 1e9
