@@ -141,6 +141,7 @@ def main() -> int:
               "host_mbs": 0.0, "tpu_mbs": 0.0, "tpu_compute_mbs": 0.0,
               "hybrid_mbs": 0.0, "encode_mbs": 0.0, "roundtrip_mbs": 0.0,
               "opt_size_ratio": 0.0, "opt_encode_mbs": 0.0,
+              "smallgroup_host_mbs": 0.0, "smallgroup_hybrid_mbs": 0.0,
               "bigblock_host_mbs": 0.0, "bigblock_tpu_mbs": 0.0,
               "corpus_mb": mb, "group_mb": block >> 20,
               "corpus": "big_mixed (Silesia not fetchable: zero egress)"}
@@ -265,6 +266,33 @@ def main() -> int:
             del outh
             result["hybrid_mbs"] = round(hybrid_mbs, 2)
             log(f"hybrid decode: {hybrid_mbs:.2f} MB/s")
+            # --- 256 KB groups: the shape where the chip can win races --
+            # (device batch wall ~= group_size / per-lane kernel rate, so
+            # 1 MB groups take longer than the hosts' whole drain on this
+            # corpus; smaller groups let the device contribute steadily)
+            sblock = 256 << 10
+            s_stream = oracle_stream(data, sblock, f"{mb}m_{sblock >> 10}k")
+            t = time.time()
+            outs1 = decode_lzma2_mt(s_stream, prop)
+            sb_host = len(data) / (time.time() - t) / 1e6
+            assert outs1 == data
+            del outs1
+            result["smallgroup_host_mbs"] = round(sb_host, 2)
+            s_groups = framing.split_groups(framing.scan(s_stream)[0])
+            s_pack = max(sum(c.pack_size for c in g) for g in s_groups)
+            s_shape = BatchShape(n_lanes=lanes,
+                                 pack_cap=-(-s_pack // 4096) * 4096,
+                                 dic_cap=sblock)
+            sb_hyb = 0.0
+            for _ in range(reps):
+                t = time.time()
+                outs2 = decode_lzma2_hybrid(s_stream, prop, shape=s_shape)
+                sb_hyb = max(sb_hyb, len(data) / (time.time() - t) / 1e6)
+                assert outs2 == data
+                del outs2
+            result["smallgroup_hybrid_mbs"] = round(sb_hyb, 2)
+            log(f"256KB groups: host {sb_host:.1f} MB/s, hybrid "
+                f"{sb_hyb:.1f} MB/s")
             # --- reference-default 64 MB blocks (Lzma2Enc.c:223-233) ----
             # few groups, 64 MB in-kernel dictionaries: the shape a stock
             # reference archive has (dict 16 MB, block = 4 x dict)

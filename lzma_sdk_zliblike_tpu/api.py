@@ -86,7 +86,21 @@ def lzma2_uncompress(stream: bytes, dict_prop: int, *,
     ``threads``: decode dict-reset groups concurrently (ordered join).
     ``progress(in_bytes, out_bytes)``: per-group decode progress; return
     False to abort (decode-side ICompressProgress, Types.h:220-225).
+    ``engine``: "auto"/"native"/"python" (host scalar), "tpu" (the
+    batched Pallas group kernel under an HBM-budgeted shape), or
+    "hybrid" (host cores + device draining one group queue).
     """
+    if engine == "hybrid":
+        from .parallel.hybrid import decode_lzma2_hybrid
+        return decode_lzma2_hybrid(stream, dict_prop, threads=threads)
+    if engine == "tpu":
+        from .models.lzma2 import framing
+        from .parallel.scheduler import BatchedLzma2Decoder
+        from .utils.memory import shape_for_groups
+        groups = framing.split_groups(framing.scan(stream)[0])
+        shape = shape_for_groups(groups)
+        return BatchedLzma2Decoder(shape, engine="pallas").decode(
+            stream, dict_prop)
     if progress is not None or (threads is not None and threads != 1
                                 and engine in ("auto", "native")):
         from .parallel.host_pool import decode_lzma2_mt

@@ -570,16 +570,48 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 st = setv(st, ST_LAST,
                           jnp.where(ac, nlastc, getv(st, ST_LAST)))
 
+            def la_fill(inpos):
+                """12-byte LE lookahead [inpos, inpos+12) from the staged
+                pages, as three u32 registers (byte inpos+k at bits 8k of
+                word k>>2).  Gathers happen only here — per-call renorm is
+                pure ALU (measured: per-call page gathers were ~16 us/iter
+                of the bit-call cost at S=128).  Each refill covers the 12
+                worst-case renorm bytes until the next one (one byte per
+                bit call; direct bits renorm at most once per 8 bits)."""
+                wbase = inpos >> 2
+                sh = ((inpos & 3) << 3).astype(_U32)
+                ws = []
+                for k in range(4):
+                    off = wbase + k - (ipg << 7)
+                    ws.append(jnp.where(off < PAGE, gat(i0_ref[:], off),
+                                        gat(i1_ref[:], off - PAGE))
+                              .astype(_U32))
+                la = []
+                for k in range(3):
+                    hi = ws[k + 1] << ((32 - sh) & 31)
+                    la.append((ws[k] >> sh)
+                              | jnp.where(sh == 0, zerou, hi))
+                return la
+
+            la_state = {"w": la_fill(inpos)}
+
+            def la_byte(need):
+                """Consume one lookahead byte on `need` lanes (LE order)."""
+                w0, w1, w2 = la_state["w"]
+                byt = w0 & 0xFF
+                la_state["w"] = [
+                    jnp.where(need, (w0 >> 8) | (w1 << 24), w0),
+                    jnp.where(need, (w1 >> 8) | (w2 << 24), w1),
+                    jnp.where(need, w2 >> 8, w2)]
+                return byt
+
             def renorm(rc, do):
-                """Range renormalization: one byte from the staged pages."""
+                """Range renormalization: one lookahead byte, no gathers."""
                 if "norenorm" in ablate:   # probe: renorm's share of bits
                     return rc
                 rng, code, inpos = rc
                 need = (rng < _TOP) & do
-                off = (inpos >> 2) - (ipg << 7)
-                v = jnp.where(off < PAGE, gat(i0_ref[:], off),
-                              gat(i1_ref[:], off - PAGE)).astype(_U32)
-                byt = (v >> ((inpos & 3) << 3).astype(_U32)) & 0xFF
+                byt = la_byte(need)
                 code = jnp.where(need, (code << 8) | byt, code)
                 rng = jnp.where(need, rng << 8, rng)
                 inpos = jnp.where(need, inpos + 1, inpos)
@@ -801,6 +833,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                      high)])
                 mlm = jnp.where(lowmid, (mlm << 1) | bk, mlm)
                 mhi = jnp.where(high, (mhi << 1) | bk, mhi)
+            # lookahead refill #2: covers high_2..7 + the slot tree (12)
+            la_state["w"] = la_fill(rc[2])
             for k in range(2, S.LEN_HIGH_BITS):
                 idx = coder * (1 << k) + (mhi - (1 << k))
                 rc, bh = bit(rc, f"high_{k}", idx, high)
@@ -849,30 +883,20 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             directs = big & (slot >= S.END_POS_MODEL_INDEX)
             ndirect = jnp.where(directs, nd - S.NUM_ALIGN_BITS, 0)
             (rng, code, inpos) = rc
-            nla = 1 + -(-max(nmax - 1, 0) // 8)
-
-            def fetch_byte(pos):
-                off = (pos >> 2) - (ipg << 7)
-                v = jnp.where(off < PAGE, gat(i0_ref[:], off),
-                              gat(i1_ref[:], off - PAGE)).astype(_U32)
-                return (v >> ((pos & 3) << 3).astype(_U32)) & 0xFF
-
-            la0 = zerou
-            la1 = zerou
-            for t in range(min(nla, 4)):
-                la0 = la0 | (fetch_byte(inpos + t) << (24 - 8 * t))
-            for t in range(4, nla):
-                la1 = la1 | (fetch_byte(inpos + t) << (24 - 8 * (t - 4)))
+            # lookahead refill #3: covers direct bits (<= 1 + ceil((nmax-1)/8)
+            # bytes — a byte buys 8 halvings) + the spec/align trees (<= 5)
+            w0, w1, w2 = la_fill(inpos)
 
             def dbody(i, dc):
-                rng, code, inpos, la0, la1, dval = dc
+                rng, code, inpos, w0, w1, w2, dval = dc
                 # ndirect > 0 exactly on `directs` lanes — avoids capturing
                 # a bool loop-invariant (Mosaic i8/i1 truncation limit)
                 act = i < ndirect
                 need = (rng < _TOP) & act
-                byt = la0 >> 24
-                la0 = jnp.where(need, (la0 << 8) | (la1 >> 24), la0)
-                la1 = jnp.where(need, la1 << 8, la1)
+                byt = w0 & 0xFF
+                w0 = jnp.where(need, (w0 >> 8) | (w1 << 24), w0)
+                w1 = jnp.where(need, (w1 >> 8) | (w2 << 24), w1)
+                w2 = jnp.where(need, w2 >> 8, w2)
                 code = jnp.where(need, (code << 8) | byt, code)
                 rng = jnp.where(need, rng << 8, rng)
                 inpos = jnp.where(need, inpos + 1, inpos)
@@ -882,10 +906,11 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 code = jnp.where(act, code2 + (rng & t), code)
                 dval = jnp.where(act, (dval << 1) + (t + 1).astype(_U32),
                                  dval)
-                return (rng, code, inpos, la0, la1, dval)
+                return (rng, code, inpos, w0, w1, w2, dval)
 
-            (rng, code, inpos, la0, la1, dval) = jax.lax.fori_loop(
-                0, nmax, dbody, (rng, code, inpos, la0, la1, zerou))
+            (rng, code, inpos, w0, w1, w2, dval) = jax.lax.fori_loop(
+                0, nmax, dbody, (rng, code, inpos, w0, w1, w2, zerou))
+            la_state["w"] = [w0, w1, w2]
             rc = (rng, code, inpos)
 
             # reverse bit trees: spec-pos (≤5 bits) and align (4 bits) are

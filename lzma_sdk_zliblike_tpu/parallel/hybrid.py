@@ -25,6 +25,13 @@ claimed groups could never be reclaimed):
   can never end on a device-tail stall, so hybrid >= host-only by
   construction (the reference's token rings have the same no-stall
   property, ``MtCoder.c:185-224``).
+* **Non-blocking endgame + latency guard.**  In-flight batches whose
+  slots the hosts already won are DISCARDED without touching the device
+  handle (a blocking D2H there held round 2's runs hostage), and the
+  feeder abstains entirely when the measured per-lane kernel rate says a
+  batch cannot finish before the hosts drain what's left — batch wall
+  time is ~group_size / per-lane-rate regardless of lane count, so on
+  short queues the device simply cannot win and should not try.
 """
 
 from __future__ import annotations
@@ -36,12 +43,19 @@ from collections import deque
 
 from ..models.lzma2 import framing
 from ..utils.errors import DataError
+from ..utils.trace import TRACE
 from .host_pool import decode_group_native
 from .scheduler import BatchShape, BatchedLzma2Decoder
 
 
 def _pow2_ceil(k: int) -> int:
     return 1 << max(2, (k - 1).bit_length())
+
+
+# measured device drain rates survive across calls (keyed by batch
+# geometry), so repeat decodes skip the small probe batches and start
+# with the right device share immediately
+_RATE_CACHE: dict[tuple[int, int], tuple[float, float]] = {}
 
 
 def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
@@ -74,7 +88,12 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
     inflight: dict[int, list[int]] = {}   # batch key -> unstolen group idxs
     errors: list[Exception] = []
     t0_all = time.monotonic()
-    rates = {"host_bytes": 0.0, "dev_bytes": 0.0, "dev_time": 0.0}
+    rates = {"host_bytes": 0.0, "dev_bytes": 0.0, "dev_time": 0.0,
+             "dev_lane_s": 0.0, "dev_proc": 0.0}
+    rate_key = (shape.dic_cap, shape.pack_cap)
+    if rate_key in _RATE_CACHE:
+        (rates["dev_bytes"], rates["dev_time"], rates["dev_lane_s"],
+         rates["dev_proc"]) = _RATE_CACHE[rate_key]
     warmed_shapes: set[int] = set()
 
     def claim(gi: int, data: bytes, who: str) -> None:
@@ -99,6 +118,7 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
                 while batch:
                     gi = batch.pop()
                     if not done[gi]:
+                        TRACE.add("hybrid.steals")
                         return gi
             return None
 
@@ -122,12 +142,22 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
     def dev_rate() -> float | None:
         if rates["dev_time"] <= 0:
             return None                  # not yet measured
-        return rates["dev_bytes"] / rates["dev_time"]
+        # a device that won zero slots still keeps a tiny share so it
+        # never divides the split by zero and keeps getting probed
+        return max(rates["dev_bytes"] / rates["dev_time"], 1e5)
 
     def take_dev_batch() -> list[int]:
-        """Size a batch to the device's measured share of the drain."""
+        """Size a batch to the device's measured share of the drain.
+
+        Latency guard: the kernel's per-lane rate is fixed, so a batch of
+        G-byte groups takes ~G/per-lane-rate wall time REGARDLESS of lane
+        count.  If the hosts would drain everything left before that, a
+        device batch cannot win a single slot — abstain (hybrid == host
+        exactly) instead of burning feeder CPU on doomed batches.
+        """
         with lock:
             remaining = len(dev_ok)
+            rem_bytes = sum(gsize[gi] for gi in dev_ok)
         if remaining == 0:
             return []
         dr = dev_rate()
@@ -135,8 +165,25 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
             k = 4                        # probe/warmup batch
         else:
             hr = host_rate()
-            share = dr / (dr + hr) if hr > 0 else 1.0
+            if hr <= 0:
+                hr = dr * 4.0   # conservative until the host rate is known
+            share = dr / (dr + hr)
             k = max(4, int(remaining * share))
+            k = min(shape.n_lanes, _pow2_ceil(min(k, remaining)))
+            # batch wall ~= group size / per-lane rate, lane-independent
+            # (per-lane rate from PROCESSED bytes, so a device that lost
+            # every race still gets an honest latency estimate)
+            if rates["dev_proc"] > 0 and rates["dev_lane_s"] > 0:
+                per_lane = rates["dev_proc"] / rates["dev_lane_s"]
+                est_batch_s = (rem_bytes / remaining) / per_lane
+                if hr > 0 and est_batch_s > 0.9 * (rem_bytes / hr):
+                    TRACE.add("hybrid.dev_abstained")
+                    return []
+            elif rates["dev_lane_s"] > 8.0:
+                # many lane-seconds burned, zero slots ever won: the
+                # device cannot beat the hosts on this workload — stop
+                TRACE.add("hybrid.dev_abstained")
+                return []
         k = min(shape.n_lanes, _pow2_ceil(min(k, remaining)))
         out: list[int] = []
         with lock:
@@ -153,12 +200,59 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
             inflight.pop(key, None)
         if n_lanes in warmed_shapes:
             rates["dev_time"] += dt
+            rates["dev_lane_s"] += dt * n_lanes
+            rates["dev_proc"] += float(sum(gsize[gi] for gi in idxs))
         else:
             warmed_shapes.add(n_lanes)   # first use = compile, not rate
         # dev_bytes is only credited for slots the device actually won
         # (claim handles that), so the rate reflects useful device work
+        TRACE.add("hybrid.dev_batches")
         for gi, data in zip(idxs, outs):
             claim(gi, data, "dev_bytes")
+
+    PRIOR_PER_LANE = 0.3e6   # conservative kernel prior, bytes/s/lane
+    D2H_PRIOR = 15e6         # tunnel D2H floor, bytes/s
+
+    def drain_one(key: int, idxs: list[int], handle, t0: float,
+                  n_lanes: int):
+        """Retire one in-flight batch without ever stalling the run.
+
+        A blocking device fetch (np.asarray on the handle) cannot be
+        interrupted, so it is only entered once the batch's ESTIMATED
+        completion time has elapsed (measured per-lane kernel rate, or a
+        conservative prior before any measurement, plus the D2H share).
+        Until then: poll cheaply, and DISCARD the batch the moment hosts
+        have claimed every slot — the dangling device work completes
+        asynchronously, unobserved, and the run's critical path can never
+        exceed host-only (the round-2 tail stall is structurally gone).
+        """
+        if rates["dev_proc"] > 0 and rates["dev_lane_s"] > 0:
+            per_lane = rates["dev_proc"] / rates["dev_lane_s"]
+        else:
+            per_lane = PRIOR_PER_LANE
+        batch_bytes = float(sum(gsize[gi] for gi in idxs))
+        est = batch_bytes / (per_lane * n_lanes) + batch_bytes / D2H_PRIOR
+        while not errors:
+            with lock:
+                all_done = all(done[gi] for gi in idxs)
+                if all_done:
+                    inflight.pop(key, None)
+            if all_done:
+                # record the elapsed wall as lane-seconds with ZERO bytes
+                # processed: a conservative lower bound that pushes the
+                # latency guard toward abstaining when the device keeps
+                # losing races (discarded batches must not leave the rate
+                # model blind)
+                if n_lanes in warmed_shapes:
+                    rates["dev_lane_s"] += (time.monotonic() - t0) * n_lanes
+                else:
+                    warmed_shapes.add(n_lanes)
+                TRACE.add("hybrid.dev_batches_discarded")
+                return
+            if time.monotonic() - t0 >= est:
+                finalize(key, idxs, handle, t0, n_lanes)
+                return
+            time.sleep(0.005)
 
     def device_feeder():
         pending: deque[tuple[int, list[int], object, float, int]] = deque()
@@ -182,7 +276,7 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
                 # compute overlaps D2H + host unpack of the next batch
                 while len(pending) > (1 if batch else 0):
                     key, idxs, handle, t0, nl = pending.popleft()
-                    finalize(key, idxs, handle, t0, nl)
+                    drain_one(key, idxs, handle, t0, nl)
                 if not batch and not pending:
                     return
         except Exception as e:  # noqa: BLE001
@@ -190,7 +284,8 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
 
     nt = threads if threads and threads > 0 else (os.cpu_count() or 1)
     workers = [threading.Thread(target=host_worker) for _ in range(nt)]
-    feeder = threading.Thread(target=device_feeder) if device else None
+    feeder = threading.Thread(target=device_feeder,
+                              daemon=True) if device else None
     for w in workers:
         w.start()
     if feeder:
@@ -198,7 +293,25 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
     for w in workers:
         w.join()
     if feeder:
-        feeder.join()
+        # once every slot is host-filled the feeder is pure cleanup — a
+        # cold-process compile inside its submit (minutes on the tunnel)
+        # must not hold the result hostage.  Abandoning is safe: with all
+        # slots done the feeder only ever takes the no-D2H discard path,
+        # then exits; it lingers as a daemon thread until then.
+        while feeder.is_alive():
+            feeder.join(timeout=0.02)
+            if not feeder.is_alive():
+                break
+            with lock:
+                all_filled = all(done) and not errors
+            if all_filled:
+                TRACE.add("hybrid.feeder_abandoned")
+                break
+    if rates["dev_time"] > 0:
+        _RATE_CACHE[rate_key] = (rates["dev_bytes"], rates["dev_time"],
+                                 rates["dev_lane_s"], rates["dev_proc"])
+    TRACE.add("hybrid.host_bytes", rates["host_bytes"])
+    TRACE.add("hybrid.dev_bytes", rates["dev_bytes"])
     if errors:
         raise errors[0]
     missing = [i for i, r in enumerate(results) if r is None]

@@ -21,6 +21,7 @@ import numpy as np
 
 from ..models.lzma2 import framing
 from ..utils.errors import DataError
+from ..utils.trace import TRACE
 
 
 @dataclasses.dataclass(frozen=True)
@@ -108,6 +109,7 @@ class BatchedLzma2Decoder:
             elif self._eligible(g):
                 device_idx.append(gi)
             else:
+                TRACE.add("scheduler.host_fallback_groups")
                 results[gi] = framing.decode_chunks(stream, g)
         # batch the device-eligible groups; sort by packed size so each
         # batch holds similar per-lane work (iteration count = max packets
@@ -126,9 +128,11 @@ class BatchedLzma2Decoder:
             if self.engine == "pallas" and all(
                     not g[0].is_lzma or g[0].mode >= framing.MODE_STATE
                     for g in lane_groups):
+                TRACE.add("scheduler.pallas_batches")
                 pending.append((lane_idx, self._submit_batch_pallas(
                     stream, lane_groups)))
             else:
+                TRACE.add("scheduler.xla_batches")
                 outs = self._decode_batch_xla(stream, lane_groups)
                 for gi, data in zip(lane_idx, outs):
                     results[gi] = data
@@ -163,7 +167,13 @@ class BatchedLzma2Decoder:
                   n_lanes: int | None = None):
         s = self.shape
         n = n_lanes or s.n_lanes
+        # n_chunks is a jit-static kernel arg: bucket it (multiples of 4)
+        # so batches with 1..4, 5..8, ... chunks share ONE compiled shape
+        # — unbucketed, nearly every hybrid batch was a fresh ~2-4 s
+        # compile inside the timed run.  Padded rounds cost ~1 masked
+        # iteration each (flags 0).
         n_chunks = max(len(g) for g in lane_groups)
+        n_chunks = min(128, -(-n_chunks // 4) * 4)
         src = np.zeros((n, s.pack_cap), np.uint8)
         pe = np.zeros((n, n_chunks), np.int32)
         ue = np.zeros((n, n_chunks), np.int32)
@@ -208,6 +218,7 @@ class BatchedLzma2Decoder:
             if ok[li]:
                 outs.append(out[li, :sum(c.unpack_size for c in g)].tobytes())
                 continue
+            TRACE.add("scheduler.lane_retries")
             try:
                 outs.append(framing.decode_chunks(stream, g))
             except Exception as e:

@@ -134,3 +134,16 @@ def test_decompressobj_factory(corpus):
     assert d.decompress(stream) + d.flush() == data
     with pytest.raises(ValueError):
         zlike.decompressobj("nope")
+
+
+def test_uncompress_engine_tpu_and_hybrid(monkeypatch):
+    """api.lzma2_uncompress engine='tpu'/'hybrid' routes (interpret on CPU)."""
+    import os
+
+    from lzma_sdk_zliblike_tpu.api import lzma2_compress, lzma2_uncompress
+    data = bytes(range(256)) * 600
+    stream, prop = lzma2_compress(data, dict_size=1 << 14,
+                                  chunk_size=1 << 14)
+    monkeypatch.setenv("LZT_PALLAS_INTERPRET", "1")
+    assert lzma2_uncompress(stream, prop, engine="hybrid") == data
+    assert lzma2_uncompress(stream, prop, engine="tpu") == data
