@@ -98,12 +98,120 @@ def make_kernel(S, iters, variant):
                      ((sc[2:3, :] + newp) & 127), sc[3:, :]], axis=0)
             return sc
 
+        def body_feat(k, carry, masked=False, fused=False):
+            """broadcast body + selected real-kernel features."""
+            rng, code, idx = carry
+            do = idx < 96                      # a live per-call mask
+            for b in range(B_CALLS):
+                p = gat(tbl_ref[b % 8], idx)
+                if fused:                      # second family part
+                    p2 = gat(tbl_ref[(b + 1) % 8], idx + 1)
+                    p = jnp.where(do, p, p2)
+                bound = (rng >> 11) * p.astype(jnp.uint32)
+                bit0 = code < bound
+                newp = jnp.where(bit0, p + ((2048 - p) >> 5), p - (p >> 5))
+                oh = lane_i == (idx & 127)
+                tbl_ref[b % 8] = jnp.where(oh, newp, tbl_ref[b % 8])
+                if fused:
+                    oh2 = lane_i == ((idx + 1) & 127)
+                    tbl_ref[(b + 1) % 8] = jnp.where(
+                        oh2 & ~do, newp, tbl_ref[(b + 1) % 8])
+                if masked:
+                    rng = jnp.where(do, jnp.where(bit0, bound, rng - bound),
+                                    rng)
+                    code = jnp.where(do, jnp.where(bit0, code,
+                                                   code - bound), code)
+                else:
+                    rng = jnp.where(bit0, bound, rng - bound)
+                    code = jnp.where(bit0, code, code - bound)
+                need = rng < (1 << 24)
+                rng = jnp.where(need, rng << 8, rng)
+                idx = (idx + p) & 127
+            return (rng, code, idx)
+
+        def body_live(k, carry, extra):
+            """fused2 body + `extra` long-lived [S,128] carries: isolates
+            live-set/register-pressure cost (the real kernel keeps
+            ~12-15 broadcast temporaries alive across its 28 calls)."""
+            rng, code, idx = carry[:3]
+            cs = list(carry[3:])
+            do = idx < 96
+            for b in range(B_CALLS):
+                p = gat(tbl_ref[b % 8], idx)
+                p2 = gat(tbl_ref[(b + 1) % 8], idx + 1)
+                p = jnp.where(do, p, p2)
+                bound = (rng >> 11) * p.astype(jnp.uint32)
+                bit0 = code < bound
+                newp = jnp.where(bit0, p + ((2048 - p) >> 5), p - (p >> 5))
+                oh = lane_i == (idx & 127)
+                tbl_ref[b % 8] = jnp.where(oh, newp, tbl_ref[b % 8])
+                rng = jnp.where(do, jnp.where(bit0, bound, rng - bound),
+                                rng)
+                code = jnp.where(do, jnp.where(bit0, code, code - bound),
+                                 code)
+                need = rng < (1 << 24)
+                rng = jnp.where(need, rng << 8, rng)
+                # touch ONE long-lived carry per call (cheap op, but every
+                # cs[j] stays live across the whole 28-call sequence)
+                j = b % len(cs)
+                cs[j] = cs[j] + idx
+                idx = (idx + p) & 127
+            return (rng, code, idx) + tuple(cs)
+
+        init_bc = (jnp.full((S, 128), 0xFFFFFFFF, jnp.uint32),
+                   jnp.zeros((S, 128), jnp.uint32),
+                   jnp.zeros((S, 128), jnp.int32))
         if variant == "broadcast":
-            init = (jnp.full((S, 128), 0xFFFFFFFF, jnp.uint32),
-                    jnp.zeros((S, 128), jnp.uint32),
-                    jnp.zeros((S, 128), jnp.int32))
-            fin = jax.lax.fori_loop(0, iters, body_broadcast, init)
+            fin = jax.lax.fori_loop(0, iters, body_broadcast, init_bc)
             out_ref[:] = fin[2]
+        elif variant == "masked":
+            fin = jax.lax.fori_loop(
+                0, iters, functools.partial(body_feat, masked=True),
+                init_bc)
+            out_ref[:] = fin[2]
+        elif variant == "fused2":
+            fin = jax.lax.fori_loop(
+                0, iters,
+                functools.partial(body_feat, masked=True, fused=True),
+                init_bc)
+            out_ref[:] = fin[2]
+        elif variant.startswith("live"):
+            extra = int(variant[4:])
+            init = init_bc + tuple(
+                jnp.full((S, 128), 3 + e, jnp.int32) for e in range(extra))
+            fin = jax.lax.fori_loop(
+                0, iters, functools.partial(body_live, extra=extra), init)
+            acc = fin[2]
+            for e in range(extra):
+                acc = acc ^ fin[3 + e]
+            out_ref[:] = acc
+        elif variant == "while":
+            def cond(c):
+                return c[0] < iters
+
+            def wbody(c):
+                it = c[0]
+                rest = body_broadcast(it, c[1:])
+                return (it + 1,) + rest
+            fin = jax.lax.while_loop(cond, wbody, (jnp.int32(0),) + init_bc)
+            out_ref[:] = fin[3]
+        elif variant == "whilecond":
+            # the real kernel's lagged busy-check pattern
+            def cond(c):
+                return (c[1] != 0) & (c[0] < iters)
+
+            def wbody(c):
+                it, busy = c[0], c[1]
+                busy = jax.lax.cond(
+                    (it & 63) == 0,
+                    lambda: jnp.where(jnp.any(c[4] < (1 << 30)), 1,
+                                      0).astype(jnp.int32),
+                    lambda: jnp.int32(1))
+                rest = body_broadcast(it, c[2:])
+                return (it + 1, busy) + rest
+            fin = jax.lax.while_loop(
+                cond, wbody, (jnp.int32(0), jnp.int32(1)) + init_bc)
+            out_ref[:] = fin[4]
         else:
             tr = variant == "lane"
             init = st_ref[:].astype(jnp.int32)
@@ -140,8 +248,9 @@ def run(S, iters, variant):
 
 def main():
     iters = int(os.environ.get("LZT_ITERS", "20000"))
+    variants = sys.argv[1:] or ["broadcast", "lane-notr", "lane"]
     for S in (32, 128):
-        for variant in ("broadcast", "lane-notr", "lane"):
+        for variant in variants:
             run(S, iters, variant)
 
 
