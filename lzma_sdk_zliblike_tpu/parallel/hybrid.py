@@ -4,7 +4,7 @@ The reference's MtCoder spreads blocks over CPU threads only
 (``MtCoder.c:185-224``); a TPU host has two kinds of silicon — a few host
 cores running the scalar engine at O(10) MB/s each, and the chip running
 the lane-parallel Pallas kernel.  This scheduler uses both at once, with
-three guarantees the round-2 version lacked (it was 4.4x slower than
+four guarantees the round-2 version lacked (it was 4.4x slower than
 host-only because the device claimed a fixed quarter of the queue and
 claimed groups could never be reclaimed):
 
@@ -55,7 +55,7 @@ def _pow2_ceil(k: int) -> int:
 # measured device drain rates survive across calls (keyed by batch
 # geometry), so repeat decodes skip the small probe batches and start
 # with the right device share immediately
-_RATE_CACHE: dict[tuple[int, int], tuple[float, float]] = {}
+_RATE_CACHE: dict[tuple[int, int], tuple[float, float, float, float]] = {}
 
 
 def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
