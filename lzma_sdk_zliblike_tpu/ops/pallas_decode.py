@@ -908,8 +908,17 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                  dval)
                 return (rng, code, inpos, w0, w1, w2, dval)
 
-            (rng, code, inpos, w0, w1, w2, dval) = jax.lax.fori_loop(
-                0, nmax, dbody, (rng, code, inpos, w0, w1, w2, zerou))
+            # the tail runs only when some lane actually decoded a
+            # direct-bits slot (rare on literal-heavy iterations).  A
+            # mid-body lax.cond on a fresh vector reduce measured ~0.2 us
+            # (tools/dev_v12_probe.py tailcond) — far below the ~2-3 us
+            # the 15-26-trip masked loop costs every iteration.
+            def _run_direct(args):
+                return jax.lax.fori_loop(0, nmax, dbody, args + (zerou,))
+
+            (rng, code, inpos, w0, w1, w2, dval) = jax.lax.cond(
+                jnp.any(directs), _run_direct, lambda a: a + (zerou,),
+                (rng, code, inpos, w0, w1, w2))
             la_state["w"] = [w0, w1, w2]
             rc = (rng, code, inpos)
 

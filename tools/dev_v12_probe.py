@@ -185,6 +185,32 @@ def make_kernel(S, iters, variant):
             for e in range(extra):
                 acc = acc ^ fin[3 + e]
             out_ref[:] = acc
+        elif variant in ("tailalways", "tailnever", "tailcond"):
+            # the direct-bits-loop gating question: a 26-trip masked tail
+            # loop runs every iteration today; gating it on a mid-body
+            # lax.cond over a FRESH vector reduce is the documented
+            # pipeline-drain fear — measure all three ways
+            def tail(ops):
+                r, c = ops
+
+                def db(i, rc):
+                    r2, c2 = rc
+                    r2 = jnp.where(c2 > r2, r2 ^ (c2 >> 1), r2)
+                    c2 = c2 + (r2 & 0xFF)
+                    return (r2, c2)
+                return jax.lax.fori_loop(0, 26, db, (r, c))
+
+            def body(k, carry):
+                rng, code, idx = body_broadcast(k, carry)
+                if variant == "tailalways":
+                    rng, code = tail((rng, code))
+                elif variant == "tailcond":
+                    anyd = jnp.any(idx > 120)   # fresh reduce -> scalar
+                    rng, code = jax.lax.cond(anyd, tail, lambda o: o,
+                                             (rng, code))
+                return (rng, code, idx)
+            fin = jax.lax.fori_loop(0, iters, body, init_bc)
+            out_ref[:] = fin[2]
         elif variant == "while":
             def cond(c):
                 return c[0] < iters
