@@ -88,19 +88,33 @@ def lzma2_uncompress(stream: bytes, dict_prop: int, *,
     False to abort (decode-side ICompressProgress, Types.h:220-225).
     ``engine``: "auto"/"native"/"python" (host scalar), "tpu" (the
     batched Pallas group kernel under an HBM-budgeted shape), or
-    "hybrid" (host cores + device draining one group queue).
+    "hybrid" (host cores + device draining one group queue).  The device
+    engines have no per-group progress hook, so a ``progress`` callback
+    routes to the host MT path instead (abort semantics preserved).
     """
-    if engine == "hybrid":
-        from .parallel.hybrid import decode_lzma2_hybrid
-        return decode_lzma2_hybrid(stream, dict_prop, threads=threads)
-    if engine == "tpu":
+    if engine in ("hybrid", "tpu") and progress is None:
         from .models.lzma2 import framing
-        from .parallel.scheduler import BatchedLzma2Decoder
         from .utils.memory import shape_for_groups
+        framing.decode_dict_prop(dict_prop)  # validate
         groups = framing.split_groups(framing.scan(stream)[0])
-        shape = shape_for_groups(groups)
-        return BatchedLzma2Decoder(shape, engine="pallas").decode(
-            stream, dict_prop)
+        # batch props come from the stream, not defaults: a non-default
+        # lc/lp/pb stream would otherwise silently fall back to the
+        # scalar path group by group
+        lc, lp, pb = 3, 0, 2
+        props = next((c.props for g in groups for c in g
+                      if c.props is not None), None)
+        if props is not None:
+            lc, lp, pb = props.lc, props.lp, props.pb
+        shape = shape_for_groups(groups, lc=lc, lp=lp, pb=pb)
+        if engine == "hybrid":
+            from .parallel.hybrid import decode_lzma2_hybrid
+            return decode_lzma2_hybrid(stream, dict_prop, shape=shape,
+                                       threads=threads)
+        from .parallel.scheduler import BatchedLzma2Decoder
+        dec = BatchedLzma2Decoder(shape, engine="pallas")
+        return b"".join(dec.decode_groups(stream, groups))
+    if engine in ("hybrid", "tpu"):
+        engine = "auto"   # progress requested: host MT path below
     if progress is not None or (threads is not None and threads != 1
                                 and engine in ("auto", "native")):
         from .parallel.host_pool import decode_lzma2_mt

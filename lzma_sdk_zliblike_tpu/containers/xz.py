@@ -161,7 +161,8 @@ def encode(data: bytes, *, check: str = "crc32",
         for f in pre:
             payload = _apply_filter(f, payload, encoding=True)
             chain.append(f)
-        if threads is not None and threads != 1 and parallel_groups:
+        if threads is not None and threads != 1 and parallel_groups \
+                and engine in ("auto", "native"):
             from ..parallel.host_pool import encode_lzma2_mt
             stream, prop = encode_lzma2_mt(
                 payload, dict_size=dict_size,

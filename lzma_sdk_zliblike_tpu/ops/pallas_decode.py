@@ -300,7 +300,6 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
         ngr = -(-n // 32)  # stream groups of 32 for packed event words
         EVL = PAGE - 32    # event words: row 0, lanes EVL..EVL+ngr-1
-        EVQ = PAGE - 64    # bf16 dot columns: 4 per group, lanes EVQ+4g..
 
         def _pack_events(evt):
             """[n,PAGE] 0/1 (lane-uniform) -> ONE [n,PAGE] array whose row 0

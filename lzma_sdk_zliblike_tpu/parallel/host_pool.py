@@ -40,7 +40,8 @@ def encode_lzma2_mt(data: bytes, *, dict_size: int, chunk_size: int,
 
     if not native.available():
         return framing.encode(data, dict_size=dict_size,
-                              chunk_size=chunk_size, engine="python")
+                              chunk_size=chunk_size, lc=lc, lp=lp, pb=pb,
+                              effort=effort, engine="python")
 
     n = len(data)
     blocks = [(i, min(i + chunk_size, n)) for i in range(0, n, chunk_size)]

@@ -86,6 +86,7 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
         else:
             host_first.append(gi)
     inflight: dict[int, list[int]] = {}   # batch key -> unstolen group idxs
+    key_ctr = [0]                         # batch key counter (under lock)
     errors: list[Exception] = []
     t0_all = time.monotonic()
     rates = {"host_bytes": 0.0, "dev_bytes": 0.0, "dev_time": 0.0,
@@ -141,6 +142,11 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
 
     def dev_rate() -> float | None:
         if rates["dev_time"] <= 0:
+            if rates["dev_lane_s"] > 0:
+                # batches ran but were all discarded: not "unmeasured" —
+                # return the floor so the latency/abstain guards engage
+                # instead of probing forever
+                return 1e5
             return None                  # not yet measured
         # a device that won zero slots still keeps a tiny share so it
         # never divides the split by zero and keeps getting probed
@@ -169,7 +175,6 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
                 hr = dr * 4.0   # conservative until the host rate is known
             share = dr / (dr + hr)
             k = max(4, int(remaining * share))
-            k = min(shape.n_lanes, _pow2_ceil(min(k, remaining)))
             # batch wall ~= group size / per-lane rate, lane-independent
             # (per-lane rate from PROCESSED bytes, so a device that lost
             # every race still gets an honest latency estimate)
@@ -189,6 +194,13 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
         with lock:
             while dev_ok and len(out) < k:
                 out.append(dev_ok.popleft())
+            if out:
+                # register under the SAME lock acquisition that pops the
+                # queue: a gap here let host workers observe all queues
+                # empty and exit for good, leaving the rest of the decode
+                # to the slow device alone
+                key_ctr[0] += 1
+                inflight[key_ctr[0]] = list(out)
         return out
 
     def finalize(key: int, idxs: list[int], handle, t_sub: float,
@@ -256,22 +268,21 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
 
     def device_feeder():
         pending: deque[tuple[int, list[int], object, float, int]] = deque()
-        key_ctr = 0
         try:
             while not errors:
                 batch = take_dev_batch()
                 if batch:
-                    n_lanes = _pow2_ceil(len(batch))
-                    key_ctr += 1
-                    with lock:
-                        # registered BEFORE the submit so hosts can steal
-                        # these groups during host-side batch packing too
-                        inflight[key_ctr] = list(batch)
+                    # the pow2 floor must never exceed the HBM-budgeted
+                    # lane cap (a 1-lane budget shape padded to 4 lanes
+                    # would ask for 4x the budget)
+                    n_lanes = min(max(shape.n_lanes, 1),
+                                  _pow2_ceil(len(batch)))
+                    key = key_ctr[0]
                     t0 = time.monotonic()
                     handle = dec._submit_batch_pallas(
                         stream, [groups[i] for i in batch],
                         n_lanes=n_lanes)
-                    pending.append((key_ctr, batch, handle, t0, n_lanes))
+                    pending.append((key, batch, handle, t0, n_lanes))
                 # keep at most 2 in flight: finalize the oldest so device
                 # compute overlaps D2H + host unpack of the next batch
                 while len(pending) > (1 if batch else 0):
