@@ -71,14 +71,17 @@ def _bind(lib: ctypes.CDLL) -> None:
     lib.lzt_crc32.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint32]
     lib.lzt_crc64.restype = ctypes.c_uint64
     lib.lzt_crc64.argtypes = [u8p, ctypes.c_size_t, ctypes.c_uint64]
-    lib.lzt_sha256.restype = None
-    lib.lzt_sha256.argtypes = [u8p, ctypes.c_size_t, u8p]
-    lib.lzt_sha256_init.restype = None
-    lib.lzt_sha256_init.argtypes = [ctypes.c_void_p]
-    lib.lzt_sha256_update.restype = None
-    lib.lzt_sha256_update.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t]
-    lib.lzt_sha256_final.restype = None
-    lib.lzt_sha256_final.argtypes = [ctypes.c_void_p, u8p]
+    # a stale prebuilt .so may predate these symbols: guard every binding
+    # added after the initial ABI and fall back (hashlib) when absent
+    if hasattr(lib, "lzt_sha256"):
+        lib.lzt_sha256.restype = None
+        lib.lzt_sha256.argtypes = [u8p, ctypes.c_size_t, u8p]
+        lib.lzt_sha256_init.restype = None
+        lib.lzt_sha256_init.argtypes = [ctypes.c_void_p]
+        lib.lzt_sha256_update.restype = None
+        lib.lzt_sha256_update.argtypes = [ctypes.c_void_p, u8p, ctypes.c_size_t]
+        lib.lzt_sha256_final.restype = None
+        lib.lzt_sha256_final.argtypes = [ctypes.c_void_p, u8p]
     lib.lzt_lzma2_encode.restype = ctypes.c_int
     lib.lzt_lzma2_encode.argtypes = [
         u8p, ctypes.c_size_t,
@@ -297,6 +300,11 @@ def crc32(data: bytes, value: int = 0) -> int:
 def crc64(data: bytes, value: int = 0) -> int:
     lib = _load()
     return lib.lzt_crc64(_as_u8p(data), len(data), value)
+
+
+def sha256_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "lzt_sha256")
 
 
 def sha256(data: bytes) -> bytes:

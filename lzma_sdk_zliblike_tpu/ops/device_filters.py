@@ -95,7 +95,8 @@ def sparc_convert_batch(data, valid, ip, *, encoding: bool):
     dest = w << 2
     pos = pos_in[None, :] + ip[:, None].astype(_U32)
     conv = jnp.where(encoding, dest + pos, dest - pos) >> 2
-    conv = ((conv & jnp.uint32(0x01FFFFFF)) | jnp.uint32(0x40000000)
+    # Bra.c:124 sign-replicates bit 22 over bits 22-29; only bits 0-21 survive
+    conv = ((conv & jnp.uint32(0x003FFFFF)) | jnp.uint32(0x40000000)
             | jnp.where((conv & jnp.uint32(0x400000)) != 0,
                         jnp.uint32(0x3FC00000), jnp.uint32(0)))
     out = _unwords_be(jnp.where(hit, conv, w))

@@ -118,7 +118,9 @@ def sparc_convert(data: bytes, ip: int = 0, encoding: bool = True) -> bytes:
     pos = (np.arange(len(w), dtype=np.uint32) << 2) + np.uint32(ip)
     conv = (dest + pos if encoding else dest - pos) & np.uint32(_MASK32)
     conv >>= 2
-    conv = ((conv & 0x01FFFFFF) | 0x40000000
+    # Bra.c:124: dest = (((0 - ((dest >> 22) & 1)) << 22) & 0x3FFFFFFF)
+    #                   | (dest & 0x3FFFFF) | 0x40000000
+    conv = ((conv & 0x3FFFFF) | 0x40000000
             | np.where((conv & 0x400000) != 0, np.uint32(0x3FC00000), np.uint32(0)))
     out = np.where(mask, conv, word)
     res = a[:n].reshape(-1, 4)

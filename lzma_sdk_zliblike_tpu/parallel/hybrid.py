@@ -54,8 +54,13 @@ def _pow2_ceil(k: int) -> int:
 
 # measured device drain rates survive across calls (keyed by batch
 # geometry), so repeat decodes skip the small probe batches and start
-# with the right device share immediately
+# with the right device share immediately.  Entries are rescaled to a
+# fixed-size window at store time (rates seed the next run, lifetime
+# sums don't accumulate), the size is bounded, and access is locked.
 _RATE_CACHE: dict[tuple[int, int], tuple[float, float, float, float]] = {}
+_RATE_LOCK = threading.Lock()
+_RATE_CACHE_MAX = 32
+_RATE_WINDOW_S = 2.0  # seed weight: pretend we saw ~2s of device work
 
 
 def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
@@ -92,9 +97,11 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
     rates = {"host_bytes": 0.0, "dev_bytes": 0.0, "dev_time": 0.0,
              "dev_lane_s": 0.0, "dev_proc": 0.0}
     rate_key = (shape.dic_cap, shape.pack_cap)
-    if rate_key in _RATE_CACHE:
+    with _RATE_LOCK:
+        cached = _RATE_CACHE.get(rate_key)
+    if cached is not None:
         (rates["dev_bytes"], rates["dev_time"], rates["dev_lane_s"],
-         rates["dev_proc"]) = _RATE_CACHE[rate_key]
+         rates["dev_proc"]) = cached
     warmed_shapes: set[int] = set()
 
     def claim(gi: int, data: bytes, who: str) -> None:
@@ -314,13 +321,23 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
             if not feeder.is_alive():
                 break
             with lock:
-                all_filled = all(done) and not errors
-            if all_filled:
+                # abandon when done, AND when a host worker has recorded an
+                # error — the feeder may be wedged in an un-interruptible
+                # device fetch and must not keep the error from raising
+                bail = (all(done) and not errors) or bool(errors)
+            if bail:
                 TRACE.add("hybrid.feeder_abandoned")
                 break
     if rates["dev_time"] > 0:
-        _RATE_CACHE[rate_key] = (rates["dev_bytes"], rates["dev_time"],
-                                 rates["dev_lane_s"], rates["dev_proc"])
+        scale = min(1.0, _RATE_WINDOW_S / rates["dev_time"])
+        with _RATE_LOCK:
+            if len(_RATE_CACHE) >= _RATE_CACHE_MAX and \
+                    rate_key not in _RATE_CACHE:
+                _RATE_CACHE.pop(next(iter(_RATE_CACHE)))
+            _RATE_CACHE[rate_key] = (rates["dev_bytes"] * scale,
+                                     rates["dev_time"] * scale,
+                                     rates["dev_lane_s"] * scale,
+                                     rates["dev_proc"] * scale)
     TRACE.add("hybrid.host_bytes", rates["host_bytes"])
     TRACE.add("hybrid.dev_bytes", rates["dev_bytes"])
     if errors:

@@ -89,7 +89,7 @@ def sha256(data: bytes) -> bytes:
     otherwise (capability fallback).
     """
     from .. import native
-    if native.available():
+    if native.sha256_available():
         return native.sha256(data)
     return hashlib.sha256(data).digest()
 

@@ -65,66 +65,87 @@ void compress(u32 h[8], const u8* p) {
   h[4] += e; h[5] += f; h[6] += g; h[7] += hh;
 }
 
+// The caller-supplied blob is a plain byte array (ctypes/stack) with no
+// alignment guarantee; Ctx holds a u64, so every entry point memcpys the
+// context in/out of the blob instead of casting the pointer.
+
+void ctx_init(Ctx& c) {
+  static const u32 iv[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
+                            0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
+  std::memcpy(c.h, iv, sizeof(iv));
+  c.total = 0;
+  c.fill = 0;
+}
+
+void ctx_update(Ctx& c, const u8* data, size_t n) {
+  c.total += n;
+  if (c.fill) {
+    const size_t take = (64 - c.fill < n) ? 64 - c.fill : n;
+    std::memcpy(c.buf + c.fill, data, take);
+    c.fill += (u32)take;
+    data += take;
+    n -= take;
+    if (c.fill == 64) {
+      compress(c.h, c.buf);
+      c.fill = 0;
+    }
+  }
+  while (n >= 64) {
+    compress(c.h, data);
+    data += 64;
+    n -= 64;
+  }
+  if (n) {
+    std::memcpy(c.buf, data, n);
+    c.fill = (u32)n;
+  }
+}
+
+void ctx_final(Ctx& c, u8 out[32]) {
+  const u64 bits = c.total << 3;
+  u8 pad[72];
+  size_t pn = 0;
+  pad[pn++] = 0x80;
+  while ((c.total + pn) % 64 != 56) pad[pn++] = 0;
+  for (int i = 7; i >= 0; i--) pad[pn++] = (u8)(bits >> (8 * i));
+  ctx_update(c, pad, pn);
+  for (int i = 0; i < 8; i++) {
+    out[4 * i] = (u8)(c.h[i] >> 24);
+    out[4 * i + 1] = (u8)(c.h[i] >> 16);
+    out[4 * i + 2] = (u8)(c.h[i] >> 8);
+    out[4 * i + 3] = (u8)c.h[i];
+  }
+}
+
 }  // namespace
 
 extern "C" {
 
 void lzt_sha256_init(void* blob) {
-  Ctx* c = (Ctx*)blob;
-  static const u32 iv[8] = {0x6a09e667, 0xbb67ae85, 0x3c6ef372, 0xa54ff53a,
-                            0x510e527f, 0x9b05688c, 0x1f83d9ab, 0x5be0cd19};
-  std::memcpy(c->h, iv, sizeof(iv));
-  c->total = 0;
-  c->fill = 0;
+  Ctx c;
+  ctx_init(c);
+  std::memcpy(blob, &c, sizeof(Ctx));
 }
 
 void lzt_sha256_update(void* blob, const u8* data, size_t n) {
-  Ctx* c = (Ctx*)blob;
-  c->total += n;
-  if (c->fill) {
-    const size_t take = (64 - c->fill < n) ? 64 - c->fill : n;
-    std::memcpy(c->buf + c->fill, data, take);
-    c->fill += (u32)take;
-    data += take;
-    n -= take;
-    if (c->fill == 64) {
-      compress(c->h, c->buf);
-      c->fill = 0;
-    }
-  }
-  while (n >= 64) {
-    compress(c->h, data);
-    data += 64;
-    n -= 64;
-  }
-  if (n) {
-    std::memcpy(c->buf, data, n);
-    c->fill = (u32)n;
-  }
+  Ctx c;
+  std::memcpy(&c, blob, sizeof(Ctx));
+  ctx_update(c, data, n);
+  std::memcpy(blob, &c, sizeof(Ctx));
 }
 
 void lzt_sha256_final(void* blob, u8 out[32]) {
-  Ctx* c = (Ctx*)blob;
-  const u64 bits = c->total << 3;
-  u8 pad[72];
-  size_t pn = 0;
-  pad[pn++] = 0x80;
-  while ((c->total + pn) % 64 != 56) pad[pn++] = 0;
-  for (int i = 7; i >= 0; i--) pad[pn++] = (u8)(bits >> (8 * i));
-  lzt_sha256_update(blob, pad, pn);
-  for (int i = 0; i < 8; i++) {
-    out[4 * i] = (u8)(c->h[i] >> 24);
-    out[4 * i + 1] = (u8)(c->h[i] >> 16);
-    out[4 * i + 2] = (u8)(c->h[i] >> 8);
-    out[4 * i + 3] = (u8)c->h[i];
-  }
+  Ctx c;
+  std::memcpy(&c, blob, sizeof(Ctx));
+  ctx_final(c, out);
+  std::memcpy(blob, &c, sizeof(Ctx));
 }
 
 void lzt_sha256(const u8* data, size_t n, u8 out[32]) {
-  u8 blob[112];
-  lzt_sha256_init(blob);
-  lzt_sha256_update(blob, data, n);
-  lzt_sha256_final(blob, out);
+  Ctx c;
+  ctx_init(c);
+  ctx_update(c, data, n);
+  ctx_final(c, out);
 }
 
 }  // extern "C"

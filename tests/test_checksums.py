@@ -42,7 +42,7 @@ def test_native_sha256_matches_hashlib():
     import pytest
 
     from lzma_sdk_zliblike_tpu import native
-    if not native.available():
+    if not native.sha256_available():
         pytest.skip("native runtime not built")
     from tests.corpus import random_bytes
     for n in (0, 1, 55, 56, 63, 64, 65, 119, 128, 1000, 1 << 16):

@@ -43,6 +43,27 @@ def test_risc_roundtrip(name, fn):
     assert fn(fn(DATA, 128, True), 128, False) == DATA
 
 
+# Canonical SPARC call words at nonzero ip: pins the Bra.c:124 bit-22
+# sign-replication (bits 23-24 must NOT survive; round-3 advisor finding).
+# Expected bytes computed with a scalar transliteration of Bra.c:99-133.
+_SPARC_WORDS = bytes.fromhex(
+    "401a4bf0400000017fffffff7fc0012340abcdef12345678403fffff7ffffe00")
+_SPARC_VECTORS = {
+    (0x0, True): "401a4bf040000002400000017fc0012640abcdef123456787fc000057ffffe07",
+    (0x0, False): "401a4bf0400000007ffffffd7fc0012040abcdef12345678403ffff97ffffdf9",
+    (0x1000, True): "401a4ff040000402400004017fc0052640abcdef123456787fc0040540000207",
+    (0x1000, False): "401a47f07ffffc007ffffbfd403ffd2040abcdef12345678403ffbf97ffff9f9",
+    (0xFF0000, True): "7fda0bf0403fc002403fc0017fffc12640abcdef123456787fffc005403fbe07",
+    (0xFF0000, False): "7fda8bf07fc040007fc03ffd4000412040abcdef1234567840003ff97fc03df9",
+}
+
+
+@pytest.mark.parametrize("ip,enc", sorted(_SPARC_VECTORS))
+def test_sparc_known_vectors(ip, enc):
+    got = F.sparc_convert(_SPARC_WORDS, ip, enc)
+    assert got.hex() == _SPARC_VECTORS[(ip, enc)]
+
+
 def test_x86_roundtrip():
     conv, _s, _d = F.x86_convert(DATA, 0, True)
     back, _s, _d = F.x86_convert(conv, 0, False)
