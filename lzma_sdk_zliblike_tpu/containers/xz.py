@@ -450,6 +450,7 @@ class XzStreamDecoder:
         self.records = []
         self.block = None
         self.win = None
+        self.n2 = None
         self.dec = None
         self.dic_start = 0
         self.need_init_state = True
@@ -584,7 +585,17 @@ class XzStreamDecoder:
             self.sfilter = StreamingBranchFilter(m, f.props, sink)
             sink = self.sfilter.write
         dict_size = framing.decode_dict_prop(blk.filters[-1].props[0])
-        self.win = WindowBuffer(max(min(dict_size, 1 << 26), 1 << 12), sink)
+        from .. import native
+        self.n2 = None
+        if native.stream_dec_available():
+            # fast path: native resumable LZMA2 decoder owns the window
+            # (the reference's C-hot Lzma2Dec state machine role)
+            self.n2 = native.Lzma2StreamDecoder(dict_size)
+            self._bsink = sink
+            self.win = None
+        else:
+            self.win = WindowBuffer(max(min(dict_size, 1 << 26), 1 << 12),
+                                    sink)
         self.state = "BLOCK"
 
     def _window_sink(self, sink):
@@ -604,6 +615,24 @@ class XzStreamDecoder:
         """Consume one LZMA2 chunk if fully buffered."""
         from ..models.lzma.decoder_ref import LzmaDecoder
         from ..models.lzma.spec import LzmaProps
+        if self.n2 is not None:
+            if not self.buf:
+                return False
+            consumed = self.n2.feed(self.buf, finish=False)
+            if consumed:
+                self._take(consumed)
+                self.block_comp += consumed
+                out = self.n2.read(-1)
+                if out:
+                    self._bsink(out)
+            if self.n2.done:
+                if self.sfilter is not None:
+                    self.sfilter.close()
+                self.n2.close()
+                self.n2 = None
+                self.state = "BLOCK_TAIL"
+                return True
+            return bool(consumed)
         if not self._have(1):
             return False
         ctrl = self.buf[0]

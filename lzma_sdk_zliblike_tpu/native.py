@@ -119,6 +119,28 @@ def _bind(lib: ctypes.CDLL) -> None:
             ctypes.c_int, ctypes.c_uint32,        # order, mem_size
             u8p, ctypes.POINTER(ctypes.c_size_t),  # out, inout out_len
         ]
+    if hasattr(lib, "lzt_stream_dec_new"):
+        lib.lzt_stream_dec_new.restype = ctypes.c_void_p
+        lib.lzt_stream_dec_new.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.c_longlong]
+        lib.lzt_stream2_dec_new.restype = ctypes.c_void_p
+        lib.lzt_stream2_dec_new.argtypes = [ctypes.c_uint32]
+        for pre in ("lzt_stream_dec", "lzt_stream2_dec"):
+            getattr(lib, pre + "_feed").restype = ctypes.c_longlong
+            getattr(lib, pre + "_feed").argtypes = [
+                ctypes.c_void_p, u8p, ctypes.c_size_t, ctypes.c_int]
+            getattr(lib, pre + "_status").restype = ctypes.c_int
+            getattr(lib, pre + "_status").argtypes = [ctypes.c_void_p]
+            getattr(lib, pre + "_pending").restype = ctypes.c_size_t
+            getattr(lib, pre + "_pending").argtypes = [ctypes.c_void_p]
+            getattr(lib, pre + "_total_out").restype = ctypes.c_uint64
+            getattr(lib, pre + "_total_out").argtypes = [ctypes.c_void_p]
+            getattr(lib, pre + "_read").restype = ctypes.c_size_t
+            getattr(lib, pre + "_read").argtypes = [ctypes.c_void_p, u8p,
+                                                    ctypes.c_size_t]
+            getattr(lib, pre + "_free").restype = None
+            getattr(lib, pre + "_free").argtypes = [ctypes.c_void_p]
     if hasattr(lib, "lzt_stream_enc_new"):
         lib.lzt_stream_enc_new.restype = ctypes.c_void_p
         lib.lzt_stream_enc_new.argtypes = [
@@ -391,3 +413,109 @@ class Lzma2StreamEncoder:
         if getattr(self, "_h", None):
             self._lib.lzt_stream_enc_free(self._h)
             self._h = None
+
+
+def stream_dec_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "lzt_stream_dec_new")
+
+
+class _StreamDecBase:
+    """Shared driver for the native resumable decoders.
+
+    Contract (see ``native/lzt_codec.cc`` stream section): ``feed`` is given
+    the caller's WHOLE unconsumed buffer each call and returns how much was
+    consumed — the native side retains no input.  Decoded bytes accumulate
+    in a native dictionary window drained with ``read``.
+    """
+
+    _PREFIX = ""
+
+    def __init__(self):
+        self._lib = _load()
+        self._h = None
+        self._rbuf = (ctypes.c_uint8 * (1 << 20))()
+
+    def _call(self, name):
+        return getattr(self._lib, self._PREFIX + name)
+
+    def feed(self, data, finish: bool = False) -> int:
+        """Consume a prefix of ``data``; returns consumed count.
+
+        Raises on decode error.  After the logical end of stream,
+        ``done`` is True and further bytes are never consumed.
+        """
+        b = bytes(data)
+        c = self._call("_feed")(self._h, _as_u8p(b), len(b),
+                                1 if finish else 0)
+        st = self._call("_status")(self._h)
+        if st < 0:
+            raise_for_sres(-st)
+        return int(c)
+
+    @property
+    def done(self) -> bool:
+        return self._call("_status")(self._h) == 1
+
+    @property
+    def total_out(self) -> int:
+        return self._call("_total_out")(self._h)
+
+    def pending(self) -> int:
+        return self._call("_pending")(self._h)
+
+    def read(self, max_length: int = -1) -> bytes:
+        """Drain up to max_length decoded bytes (all pending if < 0)."""
+        out = bytearray()
+        want = self.pending() if max_length is None or max_length < 0 \
+            else max_length
+        while want > 0:
+            n = self._call("_read")(self._h, self._rbuf,
+                                    min(want, len(self._rbuf)))
+            if not n:
+                break
+            out += bytes(self._rbuf[:n])
+            want -= n
+        return bytes(out)
+
+    def close(self) -> None:
+        if self._h:
+            self._call("_free")(self._h)
+            self._h = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class LzmaStreamDecoder(_StreamDecBase):
+    """Resumable raw-LZMA decoder (``LzmaDec_DecodeToBuf`` role,
+    ``LzmaDec.c:840-878``), O(dict) memory."""
+
+    _PREFIX = "lzt_stream_dec"
+
+    def __init__(self, props: LzmaProps, unpack_size: int | None = None):
+        super().__init__()
+        if self._lib is None or not hasattr(self._lib, "lzt_stream_dec_new"):
+            raise RuntimeError("native runtime library not available")
+        self._h = self._lib.lzt_stream_dec_new(
+            props.lc, props.lp, props.pb, props.dict_size,
+            -1 if unpack_size is None else unpack_size)
+        if not self._h:
+            from .utils.errors import ParamError
+            raise ParamError("bad LZMA props")
+
+
+class Lzma2StreamDecoder(_StreamDecBase):
+    """Resumable LZMA2 decoder (header state machine + chunk decode,
+    ``Lzma2Dec.c:47-157`` role), O(dict) memory."""
+
+    _PREFIX = "lzt_stream2_dec"
+
+    def __init__(self, dict_size: int):
+        super().__init__()
+        if self._lib is None or not hasattr(self._lib, "lzt_stream2_dec_new"):
+            raise RuntimeError("native runtime library not available")
+        self._h = self._lib.lzt_stream2_dec_new(dict_size)

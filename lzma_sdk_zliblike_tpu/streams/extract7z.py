@@ -128,6 +128,14 @@ def _decode_codec_streaming(mm, coder: SZ.Coder, pack_off: int,
         return
     if m == SZ.M_LZMA:
         props = LzmaProps.from_bytes(coder.props)
+        from .. import native
+        if native.stream_dec_available():
+            nd = native.LzmaStreamDecoder(props, out_size)
+            _native_stream_decode(mm, nd, pack_off, pack_size, sink)
+            if nd.total_out != out_size:
+                raise DataError("streamed folder size mismatch")
+            nd.close()
+            return
         win = WindowBuffer(max(props.dict_size, 1 << 12), sink,
                            autoflush=OUT_BUF)
         dec = LzmaDecoder(props)
@@ -139,6 +147,14 @@ def _decode_codec_streaming(mm, coder: SZ.Coder, pack_off: int,
         if len(coder.props) != 1:
             raise DataError("bad LZMA2 props")
         dict_size = framing.decode_dict_prop(coder.props[0])
+        from .. import native
+        if native.stream_dec_available():
+            nd = native.Lzma2StreamDecoder(dict_size)
+            _native_stream_decode(mm, nd, pack_off, pack_size, sink)
+            if nd.total_out != out_size:
+                raise DataError("streamed folder size mismatch")
+            nd.close()
+            return
         win = WindowBuffer(max(min(dict_size, 1 << 26), 1 << 12), sink)
         _lzma2_stream_decode(mm, pack_off, pack_size, win)
         win.flush(final=True)
@@ -146,6 +162,32 @@ def _decode_codec_streaming(mm, coder: SZ.Coder, pack_off: int,
             raise DataError("streamed folder size mismatch")
         return
     raise UnsupportedError(f"streaming codec {m:#x}")
+
+
+def _native_stream_decode(mm, nd, pack_off: int, pack_size: int,
+                          sink) -> None:
+    """Pump a native resumable decoder in IN_BUF input / OUT_BUF output
+    hops — the role of the fork's 512KB/1MB double-buffer loop
+    (``SzDecodeLzma(2)ToFileWithBuf``, ``7zDec.c:567-766``)."""
+    buf = bytearray()
+    pos = pack_off
+    end = pack_off + pack_size
+    while True:
+        if pos < end and len(buf) < IN_BUF:
+            take = min(end - pos, IN_BUF)
+            buf += mm[pos:pos + take]
+            pos += take
+        finish = pos >= end
+        consumed = nd.feed(buf, finish=finish)
+        del buf[:consumed]
+        out = nd.read(OUT_BUF)
+        while out:
+            sink(out)
+            out = nd.read(OUT_BUF)
+        if nd.done:
+            return
+        if finish and not consumed:
+            raise DataError("native streaming decode stalled")
 
 
 def _lzma2_stream_decode(mm, pack_off: int, pack_size: int,

@@ -43,10 +43,17 @@ class LzmaDecodeStream:
     end marker.
     """
 
-    def __init__(self, props, unpack_size: int | None = None):
+    def __init__(self, props, unpack_size: int | None = None,
+                 engine: str = "auto"):
         if isinstance(props, (bytes, bytearray)):
             props = S.LzmaProps.from_bytes(bytes(props))
-        self._dec = LzmaDecoder(props)
+        from .. import native
+        self._nd = None
+        if engine != "py" and native.stream_dec_available():
+            # fast path: the native resumable decoder (the role of the
+            # reference's C-hot LzmaDec_DecodeToBuf, LzmaDec.c:840-878)
+            self._nd = native.LzmaStreamDecoder(props, unpack_size)
+        self._dec = LzmaDecoder(props) if self._nd is None else None
         self._rc: RangeDecoder | None = None
         self._in = bytearray()
         self._out = bytearray()
@@ -63,15 +70,29 @@ class LzmaDecodeStream:
                 self.unused_data += bytes(data)
             return self._drain(max_length)
         self._in += data
-        self._run(finish=False)
+        if self._nd is not None:
+            self._nfeed(finish=False)
+        else:
+            self._run(finish=False)
         return self._drain(max_length)
 
     def flush(self) -> bytes:
         if not self.eof:
-            self._run(finish=True)
+            if self._nd is not None:
+                self._nfeed(finish=True)
+            else:
+                self._run(finish=True)
             if not self.eof:
                 raise InputEofError("LZMA stream truncated")
         return self._drain(-1)
+
+    def _nfeed(self, finish: bool) -> None:
+        consumed = self._nd.feed(self._in, finish=finish)
+        del self._in[:consumed]
+        if self._nd.done:
+            self.eof = True
+            self.unused_data += bytes(self._in)
+            self._in.clear()
 
     # -- internals ---------------------------------------------------------
     def _run(self, finish: bool) -> None:
@@ -111,6 +132,8 @@ class LzmaDecodeStream:
             self._in.clear()
 
     def _drain(self, max_length: int) -> bytes:
+        if self._nd is not None:
+            return self._nd.read(max_length)
         end = (len(self._out) if max_length is None or max_length < 0
                else min(len(self._out), self._emit_from + max_length))
         r = bytes(self._out[self._emit_from:end])
@@ -136,10 +159,14 @@ class Lzma2DecodeStream:
     same bound the reference's dictionary interface has).
     """
 
-    def __init__(self, dict_prop: int):
+    def __init__(self, dict_prop: int, engine: str = "auto"):
         from ..models.lzma2 import framing
+        from .. import native
         self._F = framing
         self._dict_size = framing.decode_dict_prop(dict_prop)
+        self._nd = None
+        if engine != "py" and native.stream_dec_available():
+            self._nd = native.Lzma2StreamDecoder(self._dict_size)
         self._dec: LzmaDecoder | None = None
         self._in = bytearray()
         self._out = bytearray()
@@ -155,15 +182,29 @@ class Lzma2DecodeStream:
                 self.unused_data += bytes(data)
             return self._drain(max_length)
         self._in += data
-        self._run()
+        if self._nd is not None:
+            self._nfeed(finish=False)
+        else:
+            self._run()
         return self._drain(max_length)
 
     def flush(self) -> bytes:
         if not self.eof:
-            self._run()
+            if self._nd is not None:
+                self._nfeed(finish=True)
+            else:
+                self._run()
             if not self.eof:
                 raise InputEofError("LZMA2 stream truncated (no EOS)")
         return self._drain(-1)
+
+    def _nfeed(self, finish: bool) -> None:
+        consumed = self._nd.feed(self._in, finish=finish)
+        del self._in[:consumed]
+        if self._nd.done:
+            self.eof = True
+            self.unused_data += bytes(self._in)
+            self._in.clear()
 
     # -- internals ---------------------------------------------------------
     def _run(self) -> None:
@@ -229,6 +270,8 @@ class Lzma2DecodeStream:
             del self._in[:hdr + pack]
 
     def _drain(self, max_length: int) -> bytes:
+        if self._nd is not None:
+            return self._nd.read(max_length)
         end = (len(self._out) if max_length is None or max_length < 0
                else min(len(self._out), self._emit_from + max_length))
         r = bytes(self._out[self._emit_from:end])

@@ -32,6 +32,9 @@ enum Status {
   ERR_PARAM = 5,
   ERR_INPUT_EOF = 6,
   ERR_OUTPUT_EOF = 7,
+  // internal (never crosses the C ABI): resumable decode stopped at a
+  // symbol boundary because fewer than `input_margin` input bytes remain
+  PAUSED = 100,
 };
 
 // ---- probability-model layout (mirrors models/lzma/spec.py) --------------
@@ -96,21 +99,28 @@ class Decoder {
     std::fill(probs_.begin(), probs_.end(), (u16)kProbInit);
     state_ = 0;
     rep_[0] = rep_[1] = rep_[2] = rep_[3] = 0;
+    rc_primed_ = false;
   }
 
   // Decode one raw-LZMA segment into out (history buffer == output).
   // Positions/contexts are counted from dic_start (processedPos
-  // semantics).  Returns consumed input position via *src_pos.
+  // semantics; may be negative after the caller trims the window front).
+  // Returns consumed input position via *src_pos.
+  //
+  // Resumable mode (persist_rc): the range-coder header is read once and
+  // range/code survive across calls; with input_margin > 0 the loop
+  // PAUSEs at a symbol boundary when fewer than margin input bytes remain
+  // (the role the reference's LzmaDec_TryDummy speculation plays,
+  // LzmaDec.c:487-675, solved by holding input back instead).
   //
   // Hot loop keeps the range-coder state (range/code/ip) and the output
   // cursor in locals: writes through the u8 output pointer may legally
   // alias class members, so member-resident state would be reloaded from
   // memory after every emitted byte.
   int decode(const u8* src_user, size_t src_len, std::vector<u8>& out,
-             size_t unpack_limit, bool until_mark, size_t dic_start,
-             size_t* consumed, bool* saw_mark) {
-    if (src_len < 5) return ERR_INPUT_EOF;
-    if (src_user[0] != 0) return ERR_DATA;
+             size_t unpack_limit, bool until_mark, long long dic_start,
+             size_t* consumed, bool* saw_mark, size_t input_margin = 0,
+             bool persist_rc = false) {
     // Work from a zero-padded copy so renormalization needs no per-bit
     // bounds check (the reference guarantees LZMA_REQUIRED_INPUT_MAX
     // caller-side instead, LzmaDec.h:45-48).  Shifting in the zero
@@ -120,11 +130,22 @@ class Decoder {
     std::memcpy(inbuf_.data(), src_user, src_len);
     std::memset(inbuf_.data() + src_len, 0, 64);
     const u8* src = inbuf_.data();
-    const u8* ip = src + 5;
+    const u8* ip;
+    u32 code, range;
+    if (persist_rc && rc_primed_) {
+      ip = src;
+      code = rc_code_;
+      range = rc_range_;
+    } else {
+      if (src_len < 5) return ERR_INPUT_EOF;
+      if (src_user[0] != 0) return ERR_DATA;
+      ip = src + 5;
+      code = ((u32)src[1] << 24) | ((u32)src[2] << 16) |
+             ((u32)src[3] << 8) | src[4];
+      range = 0xFFFFFFFFu;
+      rc_primed_ = persist_rc;
+    }
     const u8* const iend = src + src_len;
-    u32 code = ((u32)src[1] << 24) | ((u32)src[2] << 16) | ((u32)src[3] << 8) |
-               src[4];
-    u32 range = 0xFFFFFFFFu;
     *saw_mark = false;
 
     const u32 pb_mask = (1u << pb_) - 1;
@@ -196,25 +217,31 @@ class Decoder {
     };
     auto fail = [&](int err) { out.resize(opos); return err; };
 
+    bool paused = false;
     while (opos < out_target) {
+      if (input_margin && (size_t)(iend - ip) < input_margin) {
+        paused = true;
+        break;
+      }
       if (until_mark && opos + kMatchMaxLen + 1 > ocap) {
         ocap = ocap * 2 > opos + 512 ? ocap * 2 : opos + 512;
         out.resize(ocap);
         ob = out.data();
       }
-      const u32 ctx_pos = (u32)(opos - dic_start);
+      const u32 ctx_pos = (u32)((long long)opos - dic_start);
       const u32 pos_state = ctx_pos & pb_mask;
 
       if (!bitp(&P[IS_MATCH + (state << kPosBitsMax) + pos_state])) {
         // literal
-        const u8 prev = opos > dic_start ? ob[opos - 1] : 0;
+        const u8 prev = (long long)opos > dic_start ? ob[opos - 1] : 0;
         const u32 lit_state = ((ctx_pos & lp_mask) << lc_) + (prev >> (8 - lc_));
         u16* base = &P[LITERAL + 0x300 * lit_state];
         unsigned sym = 1;
         if (state < 7) {
           while (sym < 0x100) sym = (sym << 1) | bitp(&base[sym]);
         } else {
-          if (opos - dic_start < (size_t)rep0 + 1) return fail(ERR_DATA);
+          if ((long long)opos - dic_start < (long long)rep0 + 1)
+            return fail(ERR_DATA);
           unsigned mb = ob[opos - rep0 - 1];
           unsigned offs = 0x100;
           while (sym < 0x100) {
@@ -233,7 +260,7 @@ class Decoder {
 
       unsigned len;
       if (bitp(&P[IS_REP + state])) {
-        if (opos == dic_start) return fail(ERR_DATA);
+        if ((long long)opos == dic_start) return fail(ERR_DATA);
         if (!bitp(&P[IS_REP_G0 + state])) {
           if (!bitp(&P[IS_REP0_LONG + (state << kPosBitsMax) + pos_state])) {
             ob[opos] = ob[opos - rep0 - 1];
@@ -289,7 +316,8 @@ class Decoder {
         rep0 = dist;
       }
       if (ip > iend) return fail(ERR_INPUT_EOF);
-      if ((u64)rep0 + 1 > opos - dic_start || rep0 + 1 > dict_size_)
+      if ((long long)rep0 + 1 > (long long)opos - dic_start ||
+          (u64)rep0 + 1 > dict_size_)
         return fail(ERR_DATA);
       if (opos + len > out_target) return fail(ERR_DATA);
       u8* dst = ob + opos;
@@ -315,6 +343,14 @@ class Decoder {
     }
 
     out.resize(opos);
+    if (paused) {
+      state_ = state;
+      rep_[0] = rep0; rep_[1] = rep1; rep_[2] = rep2; rep_[3] = rep3;
+      rc_range_ = range;
+      rc_code_ = code;
+      *consumed = (size_t)(ip - src);
+      return PAUSED;
+    }
     if (*saw_mark && code != 0) return ERR_DATA;
     // trailing renormalize (LzmaDec.c:412 semantics): exact consumption
     if (range < kTop && ip < iend) ip++;
@@ -322,6 +358,8 @@ class Decoder {
 
     state_ = state;
     rep_[0] = rep0; rep_[1] = rep1; rep_[2] = rep2; rep_[3] = rep3;
+    rc_range_ = range;
+    rc_code_ = code;
     *consumed = (size_t)(ip - src);
     return OK;
   }
@@ -334,6 +372,9 @@ class Decoder {
   std::vector<u8> inbuf_;   // zero-padded input copy (margin-free renorm)
   int state_ = 0;
   u32 rep_[4] = {0, 0, 0, 0};
+  bool rc_primed_ = false;  // resumable mode: range/code carried here
+  u32 rc_range_ = 0;
+  u32 rc_code_ = 0;
 };
 
 // ==========================================================================
@@ -2136,6 +2177,281 @@ int lzt_lzma2_decode(const uint8_t* src, size_t n, uint8_t* dst,
   std::memcpy(dst, out.data(), out.size());
   *dst_len = out.size();
   return OK;
+}
+
+// ---------------------------------------------------------------------------
+// Resumable streaming decoders — the native engine behind every streaming
+// decode surface (zlike decompressobj, the xz push parser's block step,
+// streaming 7z extraction).  The reference's equivalent is the C-hot
+// LzmaDec_DecodeToBuf / LzmaDec_DecodeToDic pair (LzmaDec.c:719-878) and
+// Lzma2Dec's header state machine (Lzma2Dec.c:47-157).
+//
+// Contract (both variants): feed(p, n, finish) consumes as much of p as a
+// symbol/chunk boundary allows and RETURNS the consumed count — no input is
+// retained, the caller re-presents the remainder (so the Python side keeps
+// exactly one buffer).  Decoded bytes accumulate in an internal window
+// (full dictionary history + undrained output) drained via read(); drained
+// bytes older than the dictionary are trimmed, keeping memory O(dict).
+// ---------------------------------------------------------------------------
+
+namespace lzt {
+
+// window-with-virtual-origin shared by both stream decoders
+struct DecWindow {
+  std::vector<u8> win;
+  size_t emit_from = 0;        // first undrained byte
+  long long dic_start = 0;     // may go negative after trims
+  u64 total_out = 0;
+
+  size_t pending() const { return win.size() - emit_from; }
+
+  size_t read(u8* dst, size_t cap, u64 keep_hist) {
+    const size_t n = pending() < cap ? pending() : cap;
+    std::memcpy(dst, win.data() + emit_from, n);
+    emit_from += n;
+    trim(keep_hist);
+    return n;
+  }
+
+  void trim(u64 keep_hist) {
+    const long long drop0 = (long long)win.size() - (long long)keep_hist;
+    long long drop = (long long)emit_from < drop0 ? (long long)emit_from
+                                                  : drop0;
+    if (drop > (64 << 10)) {   // amortize the front erase
+      win.erase(win.begin(), win.begin() + drop);
+      emit_from -= (size_t)drop;
+      dic_start -= drop;
+    }
+  }
+};
+
+class StreamLzmaDec {
+ public:
+  // unpack < 0: decode until the end marker
+  StreamLzmaDec(int lc, int lp, int pb, u32 dict, long long unpack)
+      : dec_(lc, lp, pb, dict), dict_(dict), unpack_(unpack) {}
+
+  // returns consumed bytes; check status() afterwards
+  size_t feed(const u8* p, size_t n, bool finish) {
+    if (status_ != 0) return 0;
+    if (unpack_ == 0) {
+      status_ = 1;
+      return 0;
+    }
+    const size_t margin = finish ? 0 : 64;
+    if (!finish) {
+      // wait for the RC header + a full margin before starting; once
+      // primed, skip the call (and its input copy) when below margin
+      if (!started_ && n < 5 + margin) return 0;
+      if (started_ && n < margin) return 0;
+    }
+    const bool until_mark = unpack_ < 0;
+    const size_t remaining =
+        until_mark ? 0 : (size_t)((u64)unpack_ - w_.total_out);
+    size_t consumed = 0;
+    bool mark = false;
+    const size_t before = w_.win.size();
+    int r = dec_.decode(p, n, w_.win, remaining, until_mark, w_.dic_start,
+                        &consumed, &mark, margin, /*persist_rc=*/true);
+    started_ = true;
+    w_.total_out += w_.win.size() - before;
+    if (r == PAUSED) return consumed;
+    if (r != OK) {
+      status_ = -r;
+      return 0;
+    }
+    status_ = 1;  // done: mark seen or unpack target reached
+    return consumed;
+  }
+
+  int status() const { return status_; }  // 0 running, 1 done, -err
+  size_t pending() const { return w_.pending(); }
+  u64 total_out() const { return w_.total_out; }
+  size_t read(u8* dst, size_t cap) { return w_.read(dst, cap, dict_); }
+
+ private:
+  Decoder dec_;
+  u64 dict_;
+  long long unpack_;
+  DecWindow w_;
+  bool started_ = false;
+  int status_ = 0;
+};
+
+class StreamLzma2Dec {
+ public:
+  explicit StreamLzma2Dec(u32 dict) : dict_(dict) {}
+
+  size_t feed(const u8* p, size_t n, bool finish) {
+    if (status_ != 0) return 0;
+    size_t pos = 0;
+    while (true) {
+      if (pos >= n) {
+        if (finish) status_ = -ERR_INPUT_EOF;  // no EOS marker
+        return pos;
+      }
+      const u8 ctrl = p[pos];
+      if (ctrl == 0) {  // EOS
+        status_ = 1;
+        return pos + 1;
+      }
+      if (ctrl < 3) {  // copy chunk
+        if (pos + 3 > n) {
+          if (finish) status_ = -ERR_INPUT_EOF;
+          return pos;
+        }
+        const size_t size = ((size_t)p[pos + 1] << 8 | p[pos + 2]) + 1;
+        if (pos + 3 + size > n) {
+          if (finish) status_ = -ERR_INPUT_EOF;
+          return pos;
+        }
+        if (ctrl == 1) w_.dic_start = (long long)w_.win.size();
+        w_.win.insert(w_.win.end(), p + pos + 3, p + pos + 3 + size);
+        w_.total_out += size;
+        pos += 3 + size;
+        need_init_state_ = true;
+        continue;
+      }
+      if (ctrl < 0x80) {
+        status_ = -ERR_DATA;
+        return pos;
+      }
+      const int mode = (ctrl >> 5) & 3;
+      const size_t hdr = 5 + (mode >= 2 ? 1 : 0);
+      if (pos + hdr > n) {
+        if (finish) status_ = -ERR_INPUT_EOF;
+        return pos;
+      }
+      const size_t unpack =
+          ((((size_t)ctrl & 0x1F) << 16) | ((size_t)p[pos + 1] << 8) |
+           p[pos + 2]) + 1;
+      const size_t pack = (((size_t)p[pos + 3] << 8) | p[pos + 4]) + 1;
+      if (pos + hdr + pack > n) {
+        if (finish) status_ = -ERR_INPUT_EOF;
+        return pos;
+      }
+      if (mode >= 2) {
+        const u8 d = p[pos + 5];
+        if (d >= 9 * 5 * 5) {
+          status_ = -ERR_UNSUPPORTED;
+          return pos;
+        }
+        const int lc = d % 9, lp = (d / 9) % 5, pb = d / 45;
+        if (!dec_ || dec_->lc_ != lc || dec_->lp_ != lp || dec_->pb_ != pb)
+          dec_.reset(new Decoder(lc, lp, pb, dict_));
+        else
+          dec_->reset_state();
+        need_init_state_ = false;
+      } else if (mode == 1) {
+        if (!dec_) {
+          status_ = -ERR_DATA;
+          return pos;
+        }
+        dec_->reset_state();
+        need_init_state_ = false;
+      } else if (!dec_ || need_init_state_) {
+        status_ = -ERR_DATA;
+        return pos;
+      }
+      if (mode == 3) w_.dic_start = (long long)w_.win.size();
+      size_t consumed = 0;
+      bool mark = false;
+      const size_t before = w_.win.size();
+      int r = dec_->decode(p + pos + hdr, pack, w_.win, unpack, false,
+                           w_.dic_start, &consumed, &mark);
+      if (r != OK) {
+        status_ = -r;
+        return pos;
+      }
+      if (w_.win.size() - before != unpack || consumed != pack) {
+        status_ = -ERR_DATA;
+        return pos;
+      }
+      w_.total_out += unpack;
+      pos += hdr + pack;
+    }
+  }
+
+  int status() const { return status_; }
+  size_t pending() const { return w_.pending(); }
+  u64 total_out() const { return w_.total_out; }
+  size_t read(u8* dst, size_t cap) { return w_.read(dst, cap, dict_); }
+
+ private:
+  u64 dict_;
+  std::unique_ptr<Decoder> dec_;
+  DecWindow w_;
+  bool need_init_state_ = true;
+  int status_ = 0;
+};
+
+}  // namespace lzt
+
+// raw LZMA resumable decoder ------------------------------------------------
+
+void* lzt_stream_dec_new(int lc, int lp, int pb, uint32_t dict_size,
+                         long long unpack_size) {
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
+    return nullptr;
+  return new lzt::StreamLzmaDec(lc, lp, pb, dict_size, unpack_size);
+}
+
+long long lzt_stream_dec_feed(void* h, const uint8_t* p, size_t n,
+                              int finish) {
+  return (long long)static_cast<lzt::StreamLzmaDec*>(h)->feed(p, n,
+                                                              finish != 0);
+}
+
+int lzt_stream_dec_status(void* h) {
+  return static_cast<lzt::StreamLzmaDec*>(h)->status();
+}
+
+size_t lzt_stream_dec_pending(void* h) {
+  return static_cast<lzt::StreamLzmaDec*>(h)->pending();
+}
+
+unsigned long long lzt_stream_dec_total_out(void* h) {
+  return static_cast<lzt::StreamLzmaDec*>(h)->total_out();
+}
+
+size_t lzt_stream_dec_read(void* h, uint8_t* dst, size_t cap) {
+  return static_cast<lzt::StreamLzmaDec*>(h)->read(dst, cap);
+}
+
+void lzt_stream_dec_free(void* h) {
+  delete static_cast<lzt::StreamLzmaDec*>(h);
+}
+
+// LZMA2 resumable decoder ---------------------------------------------------
+
+void* lzt_stream2_dec_new(uint32_t dict_size) {
+  return new lzt::StreamLzma2Dec(dict_size);
+}
+
+long long lzt_stream2_dec_feed(void* h, const uint8_t* p, size_t n,
+                               int finish) {
+  return (long long)static_cast<lzt::StreamLzma2Dec*>(h)->feed(p, n,
+                                                               finish != 0);
+}
+
+int lzt_stream2_dec_status(void* h) {
+  return static_cast<lzt::StreamLzma2Dec*>(h)->status();
+}
+
+size_t lzt_stream2_dec_pending(void* h) {
+  return static_cast<lzt::StreamLzma2Dec*>(h)->pending();
+}
+
+unsigned long long lzt_stream2_dec_total_out(void* h) {
+  return static_cast<lzt::StreamLzma2Dec*>(h)->total_out();
+}
+
+size_t lzt_stream2_dec_read(void* h, uint8_t* dst, size_t cap) {
+  return static_cast<lzt::StreamLzma2Dec*>(h)->read(dst, cap);
+}
+
+void lzt_stream2_dec_free(void* h) {
+  delete static_cast<lzt::StreamLzma2Dec*>(h);
 }
 
 }  // extern "C"

@@ -18,12 +18,14 @@ def _mixed(corpus, n=120_000):
     return (corpus["text"] + corpus["x86"] + corpus["random"])[:n]
 
 
+@pytest.mark.parametrize("engine", ["auto", "py"])
 @pytest.mark.parametrize("step", [1, 7, 997, 1 << 20])
-def test_lzma_stream_fragmented_input(corpus, step):
+def test_lzma_stream_fragmented_input(corpus, step, engine):
     data = _mixed(corpus)
     props = LzmaProps(dict_size=1 << 16)
     stream, props_b = api.compress(data, dict_size=1 << 16)
-    dec = zlike.LzmaDecodeStream(props_b, unpack_size=len(data))
+    dec = zlike.LzmaDecodeStream(props_b, unpack_size=len(data),
+                                 engine=engine)
     out = bytearray()
     for i in range(0, len(stream), step):
         out += dec.decompress(stream[i:i + step])
@@ -80,12 +82,13 @@ def test_lzma_stream_bounded_memory(corpus):
     assert len(dec._out) < (1 << 14) + (1 << 17)
 
 
+@pytest.mark.parametrize("engine", ["auto", "py"])
 @pytest.mark.parametrize("step", [1, 13, 1 << 20])
-def test_lzma2_stream_fragmented_input(corpus, step):
+def test_lzma2_stream_fragmented_input(corpus, step, engine):
     data = _mixed(corpus)
     stream, prop = api.lzma2_compress(data, dict_size=1 << 16,
                                       chunk_size=1 << 14)
-    dec = zlike.Lzma2DecodeStream(prop)
+    dec = zlike.Lzma2DecodeStream(prop, engine=engine)
     out = bytearray()
     for i in range(0, len(stream), step):
         out += dec.decompress(stream[i:i + step])
@@ -147,3 +150,37 @@ def test_uncompress_engine_tpu_and_hybrid(monkeypatch):
     monkeypatch.setenv("LZT_PALLAS_INTERPRET", "1")
     assert lzma2_uncompress(stream, prop, engine="hybrid") == data
     assert lzma2_uncompress(stream, prop, engine="tpu") == data
+
+
+def test_native_stream_decoder_in_use(corpus):
+    # guard: the fast path must actually be wired when the runtime is built
+    from lzma_sdk_zliblike_tpu import native
+    if not native.stream_dec_available():
+        pytest.skip("native runtime not built")
+    dec = zlike.Lzma2DecodeStream(18)
+    assert dec._nd is not None
+    dec = zlike.LzmaDecodeStream(LzmaProps(dict_size=1 << 16))
+    assert dec._nd is not None
+
+
+def test_native_py_engine_parity(corpus):
+    """Native and pure-Python streaming decoders agree at every drain."""
+    from lzma_sdk_zliblike_tpu import native
+    if not native.stream_dec_available():
+        pytest.skip("native runtime not built")
+    data = _mixed(corpus, 80_000)
+    stream, prop = api.lzma2_compress(data, dict_size=1 << 16,
+                                      chunk_size=1 << 14)
+    a = zlike.Lzma2DecodeStream(prop, engine="auto")
+    b = zlike.Lzma2DecodeStream(prop, engine="py")
+    assert a._nd is not None and b._nd is None
+    out_a = bytearray()
+    out_b = bytearray()
+    for i in range(0, len(stream) + 1, 1777):
+        piece = stream[i:i + 1777]
+        out_a += a.decompress(piece, max_length=4096)
+        out_b += b.decompress(piece, max_length=4096)
+    out_a += a.flush()
+    out_b += b.flush()
+    assert bytes(out_a) == bytes(out_b) == data
+    assert a.unused_data == b.unused_data
