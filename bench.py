@@ -142,8 +142,12 @@ def main() -> int:
               "host_mbs": 0.0, "tpu_mbs": 0.0, "tpu_compute_mbs": 0.0,
               "hybrid_mbs": 0.0, "encode_mbs": 0.0, "roundtrip_mbs": 0.0,
               "opt_size_ratio": 0.0, "opt_encode_mbs": 0.0,
+              "oracle_enc_mbs": 0.0, "opt_enc_vs_oracle": 0.0,
+              "enc_st_mbs": 0.0, "oracle_enc_fast_mbs": 0.0,
+              "enc_fast_vs_oracle": 0.0, "enc_fast_size_ratio": 0.0,
               "smallgroup_host_mbs": 0.0, "smallgroup_hybrid_mbs": 0.0,
               "bigblock_host_mbs": 0.0, "bigblock_tpu_mbs": 0.0,
+              "bigblock_hybrid_mbs": 0.0,
               "corpus_mb": mb, "group_mb": block >> 20,
               "corpus": "big_mixed (Silesia not fetchable: zero egress)"}
 
@@ -197,19 +201,47 @@ def main() -> int:
     s_enc = os.path.join(d, "sl.l2")
     with open(s_src, "wb") as f:
         f.write(sl)
+    # oracle ST encode baselines on the same slice: level 9 (BT4 optimal
+    # parse — the mode our effort-10 matches on size) and level 1 (HC4
+    # fast parse — the mode our effort-9 fast path matches)
+    t0 = time.time()
     subprocess.run([oracle, "lzma2e", str(1 << 24), s_src, s_enc],
                    check=True, capture_output=True)
+    o_opt_dt = time.time() - t0
     o_size = os.path.getsize(s_enc) - 1
+    result["oracle_enc_mbs"] = round(len(sl) / o_opt_dt / 1e6, 2)
+    t0 = time.time()
+    subprocess.run([oracle, "lzma2e", str(1 << 24), s_src, s_enc, "1"],
+                   check=True, capture_output=True)
+    o_fast_dt = time.time() - t0
+    o_fast_size = os.path.getsize(s_enc) - 1
+    result["oracle_enc_fast_mbs"] = round(len(sl) / o_fast_dt / 1e6, 2)
     t0 = time.time()
     opt_stream, _ = lzt_native.lzma2_encode(
         sl, dict_size=1 << 24, chunk_size=1 << 21, parallel=0, effort=10)
     opt_dt = time.time() - t0
     result["opt_size_ratio"] = round(len(opt_stream) / o_size, 5)
     result["opt_encode_mbs"] = round(len(sl) / opt_dt / 1e6, 2)
+    result["opt_enc_vs_oracle"] = round(o_opt_dt / opt_dt, 3)
     log(f"effort-10 size: {len(opt_stream)} vs oracle {o_size} "
         f"(ratio {result['opt_size_ratio']}) at "
-        f"{result['opt_encode_mbs']} MB/s ST")
+        f"{result['opt_encode_mbs']} MB/s ST vs oracle "
+        f"{result['oracle_enc_mbs']} MB/s (ratio "
+        f"{result['opt_enc_vs_oracle']})")
     del opt_stream
+    # our ST fast parse vs oracle level-1 fast parse, same slice
+    t0 = time.time()
+    fast_stream, _ = lzt_native.lzma2_encode(
+        sl, dict_size=1 << 24, chunk_size=1 << 21, parallel=0, effort=9)
+    fast_dt = time.time() - t0
+    result["enc_st_mbs"] = round(len(sl) / fast_dt / 1e6, 2)
+    result["enc_fast_vs_oracle"] = round(o_fast_dt / fast_dt, 3)
+    result["enc_fast_size_ratio"] = round(len(fast_stream) / o_fast_size, 5)
+    log(f"fast-parse ST: {result['enc_st_mbs']} MB/s vs oracle level-1 "
+        f"{result['oracle_enc_fast_mbs']} MB/s (speed ratio "
+        f"{result['enc_fast_vs_oracle']}, size ratio "
+        f"{result['enc_fast_size_ratio']})")
+    del fast_stream
 
     # device + hybrid under a watchdog (remote compiles can queue)
     def on_timeout(_sig, _frm):
@@ -335,6 +367,19 @@ def main() -> int:
                 log(f"bigblock (64MB groups x {len(bgroups)}): host "
                     f"{bb_host:.1f} MB/s, tpu "
                     f"{result['bigblock_tpu_mbs']} MB/s bit-exact={ok2}")
+                # hybrid on the reference-default shape: must be >= host
+                # (the feeder abstains when the device cannot win a group)
+                bb_hyb = 0.0
+                for _ in range(2):
+                    t = time.time()
+                    outh2 = decode_lzma2_hybrid(big_stream, prop,
+                                                shape=bshape)
+                    bb_hyb = max(bb_hyb,
+                                 len(data) / (time.time() - t) / 1e6)
+                    assert outh2 == data
+                    del outh2
+                result["bigblock_hybrid_mbs"] = round(bb_hyb, 2)
+                log(f"bigblock hybrid: {bb_hyb:.1f} MB/s")
         signal.alarm(0)
     except Exception as e:  # device path must never sink the bench
         signal.alarm(0)

@@ -3,7 +3,8 @@
  * and verify golden fixtures. This file is NOT part of the framework runtime.
  *
  * Commands:
- *   lzma2e  <dictSize> <in> <out>   raw LZMA2 encode; prints dict prop byte to stderr;
+ *   lzma2e  <dictSize> <in> <out> [level]   raw LZMA2 encode (default level 9);
+ *                                   prints dict prop byte to stderr;
  *                                   writes 1-byte dictprop header + stream
  *   lzma2d  <in> <out>              raw LZMA2 decode (1-byte dictprop header)
  *   xze     <in> <out>              .xz encode (LZMA2, CRC32 check)
@@ -68,12 +69,13 @@ static size_t MemOut_Write(void *pp, const void *data, size_t size) {
   return size;
 }
 
-static int cmd_lzma2e(UInt32 dictSize, const char *inp, const char *outp) {
+static int cmd_lzma2e(UInt32 dictSize, const char *inp, const char *outp,
+                      int level) {
   size_t n; Byte *data = read_file(inp, &n);
   CLzma2EncHandle h = Lzma2Enc_Create(&g_alloc, &g_alloc);
   CLzma2EncProps props; Lzma2EncProps_Init(&props);
   props.lzmaProps.dictSize = dictSize;
-  props.lzmaProps.level = 9;
+  props.lzmaProps.level = level;
   if (Lzma2Enc_SetProps(h, &props) != SZ_OK) return 3;
   Byte dictProp = Lzma2Enc_WriteProperties(h);
   MemIn mi = { { MemIn_Read }, data, 0, n };
@@ -223,8 +225,9 @@ int cmd_ppmd7d(int order, UInt32 mem, size_t outSize, const char *inp, const cha
 
 int main(int argc, char **argv) {
   if (argc < 2) { fprintf(stderr, "usage: see header\n"); return 1; }
-  if (!strcmp(argv[1], "lzma2e") && argc == 5)
-    return cmd_lzma2e((UInt32)strtoul(argv[2], 0, 0), argv[3], argv[4]);
+  if (!strcmp(argv[1], "lzma2e") && (argc == 5 || argc == 6))
+    return cmd_lzma2e((UInt32)strtoul(argv[2], 0, 0), argv[3], argv[4],
+                      argc == 6 ? atoi(argv[5]) : 9);
   if (!strcmp(argv[1], "lzma2d") && argc == 4) return cmd_lzma2d(argv[2], argv[3]);
   if (!strcmp(argv[1], "xze") && argc == 4) return cmd_xze(argv[2], argv[3]);
   if (!strcmp(argv[1], "lzma86e") && argc == 4) return cmd_lzma86e(argv[2], argv[3]);
