@@ -7,7 +7,8 @@ from lzma_sdk_zliblike_tpu.ops import filters as F
 from lzma_sdk_zliblike_tpu.ops import device_filters as DF
 from tests.corpus import random_bytes
 
-HOST = {"arm": F.arm_convert, "ppc": F.ppc_convert, "sparc": F.sparc_convert}
+HOST = {"arm": F.arm_convert, "armt": F.armt_convert, "ppc": F.ppc_convert,
+        "sparc": F.sparc_convert, "ia64": F.ia64_convert}
 
 
 def _mk_batch(seed, S=5, L=4096):
@@ -25,21 +26,42 @@ def _mk_batch(seed, S=5, L=4096):
             off = int(rng.integers(0, L - 4)) & ~3
             data[s, off] = 0x40                # SPARC call
             data[s, off + 1] &= 0x3F
+            off = int(rng.integers(0, L - 4)) & ~1
+            data[s, off + 1] = 0xF0 | (data[s, off + 1] & 7)   # ARMT BL pair
+            data[s, off + 3] = 0xF8 | (data[s, off + 3] & 7)
+            off = int(rng.integers(0, (L - 16) // 16)) * 16    # IA64 brl
+            data[s, off] = 0x16                # template 22: all slots
+            data[s, off + 1] &= 0x3F           # instr bits 14-16 clear
+            data[s, off + 2] &= 0xFE
+            data[s, off + 5] = (data[s, off + 5] & 0xC3) | 0x14  # op 5
     valid = np.array([L, L - 4, L - 128, 8, 0][:S], np.int32)
     ip = np.array([0, 4096, 12345 & ~3, 0, 0][:S], np.uint32)
     return data, valid, ip
 
 
-@pytest.mark.parametrize("name", ["arm", "ppc", "sparc"])
+@pytest.mark.parametrize("name", ["arm", "armt", "ppc", "sparc", "ia64"])
 @pytest.mark.parametrize("encoding", [True, False])
 def test_branch_batch_matches_host(name, encoding):
     data, valid, ip = _mk_batch(seed=hash(name) % 1000)
     out = DF.convert_batch(name, data, valid, ip, encoding=encoding)
+    hits = int((out != data).sum())
+    assert hits > 0, f"{name}: salt produced no conversions"
     for s in range(len(valid)):
         n = int(valid[s])
         ref = HOST[name](data[s, :n].tobytes(), int(ip[s]),
                          encoding=encoding)
         assert out[s, :n].tobytes() == ref, (name, encoding, s)
+
+
+@pytest.mark.parametrize("name", ["arm", "armt", "ppc", "sparc", "ia64"])
+def test_branch_batch_roundtrip(name):
+    data, valid, ip = _mk_batch(seed=hash(name) % 997 + 7)
+    # xz requires filter start offsets aligned to the instruction size;
+    # ia64's >>4 truncation is only invertible at 16-aligned ip
+    ip = ip & ~np.uint32(15)
+    enc = DF.convert_batch(name, data, valid, ip, encoding=True)
+    dec = DF.convert_batch(name, np.asarray(enc), valid, ip, encoding=False)
+    assert np.array_equal(np.asarray(dec), data), name
 
 
 @pytest.mark.parametrize("dist", [1, 2, 3, 4, 16, 255])
