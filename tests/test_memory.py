@@ -34,3 +34,25 @@ def test_shape_for_groups_covers_stream():
     assert shape.pack_cap >= max(sum(c.pack_size for c in g)
                                  for g in groups)
     assert shape.n_lanes >= 1
+
+
+def test_normalize_axes_factorization():
+    """t1*t2=t3 resolution precedence mirrors Lzma2EncProps_Normalize
+    (Lzma2Enc.c:176-221)."""
+    from lzma_sdk_zliblike_tpu.parallel.mesh import normalize_axes
+    # nothing given: one chip, default lanes
+    assert normalize_axes(None, None, None, default_per_chip=8) == (8, 1, 8)
+    # total only: chips derived from default per-chip
+    assert normalize_axes(None, None, 32, default_per_chip=8) == (8, 4, 32)
+    # total smaller than one chip's lanes: per-chip collapses to 1
+    assert normalize_axes(None, None, 4, default_per_chip=8) == (1, 4, 4)
+    # chips only
+    assert normalize_axes(None, 4, None, default_per_chip=8) == (8, 4, 32)
+    # per-chip + total: chips derived
+    assert normalize_axes(16, None, 64, default_per_chip=8) == (16, 4, 64)
+    # chips + total: per-chip derived
+    assert normalize_axes(None, 4, 64, default_per_chip=8) == (16, 4, 64)
+    # fully specified pair wins over total (reference: t3 = t1n * t2)
+    assert normalize_axes(8, 2, 1000, default_per_chip=8) == (8, 2, 16)
+    # chip cap
+    assert normalize_axes(1, None, 1 << 20, max_chips=64)[1] == 64
