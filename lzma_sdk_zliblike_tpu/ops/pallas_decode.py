@@ -1339,7 +1339,14 @@ def submit_groups_sharded(src: np.ndarray, pack_ends: np.ndarray,
     f = shard_map(per_device, mesh=mesh,
                   in_specs=(lane_spec, lane_spec),
                   out_specs=(lane_spec, lane_spec))
-    return f(jnp.asarray(meta), jnp.asarray(words))
+    # explicit global placement: every process holds the identical host
+    # arrays (the stream bytes are the broadcast), so device_put with the
+    # mesh-wide sharding is valid single- AND multi-process
+    from jax.sharding import NamedSharding
+    lane_sh = NamedSharding(mesh, lane_spec)
+    meta_d = jax.device_put(jnp.asarray(meta), lane_sh)
+    words_d = jax.device_put(jnp.asarray(words), lane_sh)
+    return f(meta_d, words_d)
 
 
 def submit_chunks(src: np.ndarray, pack_len: np.ndarray,

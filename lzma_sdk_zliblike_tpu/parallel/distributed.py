@@ -54,82 +54,76 @@ def decode_groups_distributed(stream: bytes, *, dict_prop: int,
                               dic_cap: int = 1 << 14) -> bytes | None:
     """Decode an LZMA2 stream with lanes sharded over the global mesh.
 
-    Every process runs the same program (SPMD); the result bytes are
+    Every process runs the same SPMD program on the *Pallas group
+    kernel* (``submit_groups_sharded`` — whole dict-reset groups with
+    in-kernel chunk loop, copy chunks, state carry); the result bytes are
     returned on process 0 (None elsewhere).  Group metadata comes from the
     host-side scan (identical on every process — the stream bytes are the
-    broadcast); each process materializes only its local shard of the lane
-    arrays via ``jax.make_array_from_callback``.
+    broadcast).  Groups are bucketed by their (lc, lp, pb) props triple —
+    each props set compiles its own kernel shape, like the single-host
+    scheduler — so eligibility is not pinned to default props.
     """
     import jax
-    import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import NamedSharding, PartitionSpec as P
 
     from ..models.lzma2 import framing
-    from ..ops import batched_decode as B
+    from ..ops import pallas_decode as P
+    from .scheduler import BatchShape, BatchedLzma2Decoder
 
     mesh = global_lane_mesh()
     n_dev = len(jax.devices())
     n_lanes = n_dev * lanes_per_device
+    interpret = None if jax.devices()[0].platform == "tpu" else True
 
     chunks, _ = framing.scan(stream)
     groups = framing.split_groups(chunks)
     out_parts: list[bytes | None] = [None] * len(groups)
 
-    # multi-chunk groups are first-class: a group is device-eligible when
-    # every chunk is an LZMA chunk with default props fitting the static
-    # shapes; chunk j of every lane decodes in lockstep with state carry
-    # (reset flags re-init the model exactly like Lzma2Dec.c:246-257)
-    eligible = []
+    # bucket device-eligible groups by props triple; everything else
+    # (oversize, >128 chunks, malformed) decodes on the host
+    buckets: dict[tuple[int, int, int], list[int]] = {}
+    decs: dict[tuple[int, int, int], BatchedLzma2Decoder] = {}
     for gi, g in enumerate(groups):
-        if (all(c.is_lzma and c.pack_size <= pack_cap for c in g)
-                and sum(c.unpack_size for c in g) <= dic_cap
-                and all(c.props is None
-                        or (c.props.lc, c.props.lp, c.props.pb) == (3, 0, 2)
-                        for c in g)):
-            eligible.append(gi)
+        key = None
+        for c in g:
+            if c.is_lzma and c.props is not None:
+                key = (c.props.lc, c.props.lp, c.props.pb)
+                break
+        if key is not None and key not in decs:
+            decs[key] = BatchedLzma2Decoder(
+                BatchShape(n_lanes=n_lanes, pack_cap=pack_cap,
+                           dic_cap=dic_cap, lc=key[0], lp=key[1],
+                           pb=key[2]), engine="pallas")
+        if key is not None and decs[key]._eligible(g):
+            buckets.setdefault(key, []).append(gi)
         else:
             out_parts[gi] = framing.decode_chunks(stream, g)
 
-    sh = NamedSharding(mesh, P("dp"))
-
     from jax.experimental import multihost_utils
-    for base in range(0, len(eligible), n_lanes):
-        batch = eligible[base:base + n_lanes]
-        lane = B.init_lane_state(n_lanes, 3, 0, dic_cap)
-        lane = jax.tree.map(lambda x: jax.device_put(x, sh), lane)
-        max_chunks = max(len(groups[gi]) for gi in batch)
-        all_ok = True
-        for j in range(max_chunks):
-            src = np.zeros((n_lanes, pack_cap), np.uint8)
-            pl = np.zeros((n_lanes,), np.int32)
-            ul = np.zeros((n_lanes,), np.int32)
-            reset = np.zeros((n_lanes,), bool)
-            act = np.zeros((n_lanes,), bool)
+    for key, idxs in sorted(buckets.items()):
+        dec = decs[key]
+        for base in range(0, len(idxs), n_lanes):
+            batch = idxs[base:base + n_lanes]
+            lane_groups = [groups[gi] for gi in batch]
+            # pack the WHOLE batch once, outside any chunk loop
+            src, pe, ue, fl, act, _ = dec._assemble(stream, lane_groups,
+                                                    n_lanes)
+            packed, status = P.submit_groups_sharded(
+                src, pe, ue, fl, act, dic_cap=dic_cap, mesh=mesh,
+                lc=key[0], lp=key[1], pb=key[2], interpret=interpret)
+            packed = np.asarray(
+                multihost_utils.process_allgather(packed, tiled=True))
+            status = np.asarray(
+                multihost_utils.process_allgather(status, tiled=True))
+            out, ok, _cons = P.finalize_chunks((packed, status),
+                                               dic_cap=dic_cap)
+            if not ok[:len(batch)].all():
+                raise RuntimeError(
+                    f"distributed decode failed on lanes "
+                    f"{np.nonzero(~ok[:len(batch)])[0].tolist()}")
             for li, gi in enumerate(batch):
-                g = groups[gi]
-                if j >= len(g):
-                    continue
-                c = g[j]
-                src[li, :c.pack_size] = np.frombuffer(
-                    stream, np.uint8, c.pack_size, c.data_off)
-                pl[li] = c.pack_size
-                ul[li] = c.unpack_size
-                reset[li] = c.mode >= framing.MODE_STATE
-                act[li] = True
-            args = [jax.device_put(jnp.asarray(a), sh)
-                    for a in (src, pl, ul, reset, act)]
-            lane, ok, _cons, _it = B.lzma_chunk_step(lane, *args)
-            okh = multihost_utils.process_allgather(ok, tiled=True)
-            all_ok = bool(np.asarray(okh).all()) and all_ok
-        if not all_ok:
-            raise RuntimeError("distributed decode failed on a lane")
-        dic = np.asarray(
-            multihost_utils.process_allgather(lane.dic, tiled=True)
-        ).astype(np.uint8)
-        for li, gi in enumerate(batch):
-            unpack = sum(c.unpack_size for c in groups[gi])
-            out_parts[gi] = dic[li, :unpack].tobytes()
+                unpack = sum(c.unpack_size for c in groups[gi])
+                out_parts[gi] = out[li, :unpack].tobytes()
 
     if jax.process_index() != 0:
         return None
