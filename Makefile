@@ -61,5 +61,10 @@ $(NATIVE)/liblzt_native.so: $(wildcard $(NATIVE)/*.cc $(NATIVE)/*.h)
 test:
 	python -m pytest tests/ -x -q
 
+# on-chip kernel selftest: the Pallas suites' assertions COMPILED on the
+# attached TPU (decode bit-exactness, encode byte-identity)
+test-tpu:
+	python tools/chip_selftest.py
+
 clean:
 	rm -rf $(BUILD) $(NATIVE)/liblzt_native.so $(NATIVE)/*.o

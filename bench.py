@@ -148,6 +148,8 @@ def main() -> int:
               "smallgroup_host_mbs": 0.0, "smallgroup_hybrid_mbs": 0.0,
               "bigblock_host_mbs": 0.0, "bigblock_tpu_mbs": 0.0,
               "bigblock_hybrid_mbs": 0.0,
+              "encode_device_kernel_mbs": 0.0, "encode_device_mbs": 0.0,
+              "encode_device_identical": 0,
               "corpus_mb": mb, "group_mb": block >> 20,
               "corpus": "big_mixed (Silesia not fetchable: zero egress)"}
 
@@ -380,6 +382,15 @@ def main() -> int:
                     del outh2
                 result["bigblock_hybrid_mbs"] = round(bb_hyb, 2)
                 log(f"bigblock hybrid: {bb_hyb:.1f} MB/s")
+            # --- device range ENCODER (find->parse->code pipeline) ------
+            # kernel-only rate on a pre-parsed resident batch, plus the
+            # end-to-end device-coded stream vs the host MT encoder
+            # (byte-identity is part of the measurement)
+            if time.time() - t0_bench < timeout_s * 0.8:
+                try:
+                    _bench_device_encode(data, result, log)
+                except Exception as e:  # noqa: BLE001
+                    log(f"device encode bench failed: {e!r}")
         signal.alarm(0)
     except Exception as e:  # device path must never sink the bench
         signal.alarm(0)
@@ -389,6 +400,52 @@ def main() -> int:
            "tpu" if best == tpu_mbs and tpu_mbs > 0 else "host_mt")
     finish(best, tag)
     return 0
+
+
+def _bench_device_encode(data, result, log):
+    """Device range-encode rows: kernel-only MB/s + e2e vs host MT."""
+    import numpy as np
+    from lzma_sdk_zliblike_tpu import native as lzt_native
+    from lzma_sdk_zliblike_tpu.ops import pallas_encode as PE
+    from lzma_sdk_zliblike_tpu.parallel.device_encode import (
+        encode_lzma2_device_coded)
+    from lzma_sdk_zliblike_tpu.parallel.host_pool import encode_lzma2_mt
+
+    sl = data[:32 << 20]
+    lanes = 32
+    group = 1 << 20
+    spans = [(i, min(i + group, len(sl)))
+             for i in range(0, len(sl), group)][:lanes]
+    lane_ops, lane_tabs = [], []
+    for s, e in spans:
+        o, t, _b = lzt_native.lzma2_group_ops(sl[s:e], 1 << 20)
+        lane_ops.append(o)
+        lane_tabs.append(t)
+    ops_words, meta, out_pages, nch = PE.pack_ops_batch(lane_ops, lane_tabs)
+    h = PE.submit_encode_groups(ops_words, meta, out_pages=out_pages)
+    _bodies, ok = PE.finalize_encode(h, nch)
+    if not ok.all():
+        log(f"device encode warmup: {int(ok.sum())}/{len(spans)} lanes ok")
+    best = 1e18
+    for _ in range(2):
+        t = time.time()
+        h = PE.submit_encode_groups(ops_words, meta, out_pages=out_pages)
+        np.asarray(h[1])
+        best = min(best, time.time() - t)
+    unpack = sum(e - s for s, e in spans)
+    result["encode_device_kernel_mbs"] = round(unpack / best / 1e6, 2)
+    log(f"device encode kernel: {result['encode_device_kernel_mbs']} MB/s "
+        f"({len(spans)} lanes x 1 MB)")
+    # e2e: parse (host threads) + device code + framing, vs host MT bytes
+    ref, _p = encode_lzma2_mt(sl, dict_size=1 << 20, chunk_size=group)
+    t = time.time()
+    dev, _p2 = encode_lzma2_device_coded(sl, dict_size=1 << 20,
+                                         chunk_size=group, lanes=lanes)
+    dt = time.time() - t
+    result["encode_device_mbs"] = round(len(sl) / dt / 1e6, 2)
+    result["encode_device_identical"] = int(dev == ref)
+    log(f"device-coded e2e: {result['encode_device_mbs']} MB/s, "
+        f"byte-identical={bool(dev == ref)}")
 
 
 def _compute_rate(stream, groups, shape):

@@ -17,6 +17,7 @@ from .utils.errors import raise_for_sres
 
 _LIB = None
 _TRIED = False
+_LOAD_LOCK = __import__("threading").Lock()
 
 
 def _lib_path() -> str:
@@ -26,8 +27,16 @@ def _lib_path() -> str:
 
 def _load():
     global _LIB, _TRIED
+    if _TRIED:          # fast path, no lock once resolved
+        return _LIB
+    with _LOAD_LOCK:
+        _load_locked()
+    return _LIB
+
+
+def _load_locked():
+    global _LIB, _TRIED
     if not _TRIED:
-        _TRIED = True
         path = os.path.abspath(_lib_path())
         if not os.path.exists(path):
             # fresh checkout: build the runtime once, best-effort (the
@@ -43,6 +52,9 @@ def _load():
             lib = ctypes.CDLL(path)
             _bind(lib)
             _LIB = lib
+        # _TRIED flips only after _LIB is final: the unlocked fast path
+        # in _load() must never observe _TRIED=True with a half-done load
+        _TRIED = True
     return _LIB
 
 
@@ -119,6 +131,14 @@ def _bind(lib: ctypes.CDLL) -> None:
             ctypes.c_int, ctypes.c_uint32,        # order, mem_size
             u8p, ctypes.POINTER(ctypes.c_size_t),  # out, inout out_len
         ]
+    if hasattr(lib, "lzt_lzma2_group_ops"):
+        lib.lzt_lzma2_group_ops.restype = ctypes.c_int
+        lib.lzt_lzma2_group_ops.argtypes = [
+            u8p, ctypes.c_size_t, ctypes.c_uint32,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(ctypes.c_size_t),
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int),
+            u8p, ctypes.POINTER(ctypes.c_size_t)]
     if hasattr(lib, "lzt_stream_dec_new"):
         lib.lzt_stream_dec_new.restype = ctypes.c_void_p
         lib.lzt_stream_dec_new.argtypes = [
@@ -413,6 +433,43 @@ class Lzma2StreamEncoder:
         if getattr(self, "_h", None):
             self._lib.lzt_stream_enc_free(self._h)
             self._h = None
+
+
+def group_ops_available() -> bool:
+    lib = _load()
+    return lib is not None and hasattr(lib, "lzt_lzma2_group_ops")
+
+
+def lzma2_group_ops(data: bytes, dict_size: int, *, lc: int = 3, lp: int = 0,
+                    pb: int = 2, sub_size: int = 48 << 10):
+    """Fast-parse one dict-reset group, exporting the op stream.
+
+    Returns ``(ops, chunk_tab, body)``: ops is an int64-safe uint32 numpy
+    array of 2-word records (see lzt_codec.cc), chunk_tab an [n_chunks, 3]
+    int32 table of cumulative (op words, unpack bytes, body bytes), and
+    body the concatenated native chunk bodies (device ground truth).
+    """
+    import numpy as np
+    lib = _load()
+    ops_cap = ctypes.c_size_t(4 * len(data) + 64)
+    ops = np.zeros(ops_cap.value, np.uint32)
+    max_chunks = len(data) // 1024 + 2
+    tab = np.zeros(max_chunks * 3, np.int32)
+    n_chunks = ctypes.c_int(max_chunks)
+    body_cap = ctypes.c_size_t(len(data) + len(data) // 2 + 4096)
+    body = ctypes.create_string_buffer(body_cap.value)
+    r = lib.lzt_lzma2_group_ops(
+        _as_u8p(data), len(data), dict_size, lc, lp, pb, sub_size,
+        ops.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(ops_cap),
+        tab.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.byref(n_chunks),
+        ctypes.cast(body, ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.byref(body_cap))
+    raise_for_sres(r)
+    return (ops[:ops_cap.value].copy(),
+            tab[:n_chunks.value * 3].reshape(-1, 3).copy(),
+            body.raw[:body_cap.value])
 
 
 def stream_dec_available() -> bool:

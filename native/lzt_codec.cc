@@ -1393,8 +1393,15 @@ class Encoder {
     ext_k_ = k;
   }
 
+  // Op record exported to the device range coder (2 u32 words per op):
+  //   a = kind | (rep_index << 2) | (length << 4)
+  //       kind: 0 literal, 1 match, 2 rep, 3 shortrep
+  //   b = wire distance (match only; = best_dist - 1)
+  // The op stream fully determines the emission: replaying it through the
+  // adaptive model + range coder reproduces encode_segment's bytes.
   std::vector<u8> encode_segment(const u8* data, size_t total_n, size_t start,
-                                 size_t end, size_t dic_start, bool end_mark) {
+                                 size_t end, size_t dic_start, bool end_mark,
+                                 std::vector<u32>* ops_out = nullptr) {
     RangeEncoder rc;
     const u32 pb_mask = (1u << pb_) - 1;
     const u32 lp_mask = (1u << lp_) - 1;
@@ -1490,6 +1497,15 @@ class Encoder {
       if (use_match || use_rep) {
         const bool is_rep = use_rep && !use_match;
         const unsigned length = is_rep ? best_rep_len : best_len;
+        if (ops_out) {
+          if (is_rep) {
+            ops_out->push_back(2u | ((u32)best_ri << 2) | ((u32)length << 4));
+            ops_out->push_back(0);
+          } else {
+            ops_out->push_back(1u | ((u32)length << 4));
+            ops_out->push_back(best_dist - 1);
+          }
+        }
         rc.encode_bit(&probs_[IS_MATCH + (state << kPosBitsMax) + pos_state], 1);
         if (is_rep) {
           rc.encode_bit(&probs_[IS_REP + state], 1);
@@ -1538,6 +1554,10 @@ class Encoder {
         // short-rep opportunity in match states
         if (rep_len[0] >= 1 && (int64_t)i - rep0 - 1 >= (int64_t)dic_start &&
             data[i - rep0 - 1] == data[i] && state >= 7) {
+          if (ops_out) {
+            ops_out->push_back(3u | (1u << 4));
+            ops_out->push_back(0);
+          }
           rc.encode_bit(&probs_[IS_MATCH + (state << kPosBitsMax) + pos_state], 1);
           rc.encode_bit(&probs_[IS_REP + state], 1);
           rc.encode_bit(&probs_[IS_REP_G0 + state], 0);
@@ -1547,6 +1567,18 @@ class Encoder {
           if (!mf_inserted) mf_ins(i);
           i += 1;
           continue;
+        }
+        if (ops_out) {
+          // literal record carries every data byte the coder needs, so a
+          // replaying device lane never touches the raw data: the symbol,
+          // the previous byte (literal context), and the matched byte
+          // (only meaningful in states >= 7)
+          const u8 pv = i > dic_start ? data[i - 1] : 0;
+          const u8 mbv =
+              (state >= 7 && (int64_t)i - rep0 - 1 >= (int64_t)dic_start)
+                  ? data[i - rep0 - 1] : 0;
+          ops_out->push_back(0u | (1u << 4));
+          ops_out->push_back((u32)data[i] | ((u32)pv << 8) | ((u32)mbv << 16));
         }
         rc.encode_bit(&probs_[IS_MATCH + (state << kPosBitsMax) + pos_state], 0);
         const u8 prev = i > dic_start ? data[i - 1] : 0;
@@ -1773,6 +1805,49 @@ int lzt_lzma_encode(const uint8_t* src, size_t n, uint8_t* dst,
   std::memcpy(dst, out.data(), out.size());
   *dst_len = out.size();
   return lzt::OK;
+}
+
+// Parse one dict-reset group for the device range coder: run the fast
+// parse sub-chunk by sub-chunk (identical decisions to lzt_lzma2_encode's
+// fast path), exporting the op stream, per-chunk table, and the native
+// chunk bodies (ground truth for byte-identity checks / host fallback).
+//
+// chunk_tab: 3 int32 per chunk: [cum op words, cum unpack bytes,
+// cum body bytes].  Returns SRes; ops_cap/body_cap/n_chunks are inout.
+int lzt_lzma2_group_ops(const uint8_t* src, size_t n, uint32_t dict_size,
+                        int lc, int lp, int pb, uint32_t sub_size,
+                        uint32_t* ops, size_t* ops_cap,
+                        int32_t* chunk_tab, int* n_chunks_io,
+                        uint8_t* body, size_t* body_cap) {
+  using namespace lzt;
+  if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
+    return ERR_PARAM;
+  const size_t sub = sub_size ? sub_size : (48u << 10);
+  Encoder enc(lc, lp, pb, dict_size, 48, 64);
+  enc.reset_state();
+  std::vector<u32> all_ops;
+  std::vector<u8> all_body;
+  std::vector<int32_t> tab;
+  size_t pos = 0;
+  while (pos < n) {
+    const size_t end = pos + sub < n ? pos + sub : n;
+    auto b = enc.encode_segment(src, n, pos, end, 0, false, &all_ops);
+    all_body.insert(all_body.end(), b.begin(), b.end());
+    tab.push_back((int32_t)all_ops.size());
+    tab.push_back((int32_t)end);
+    tab.push_back((int32_t)all_body.size());
+    pos = end;
+  }
+  if ((int)(tab.size() / 3) > *n_chunks_io) return ERR_OUTPUT_EOF;
+  if (all_ops.size() > *ops_cap || all_body.size() > *body_cap)
+    return ERR_OUTPUT_EOF;
+  std::memcpy(ops, all_ops.data(), all_ops.size() * 4);
+  std::memcpy(chunk_tab, tab.data(), tab.size() * 4);
+  std::memcpy(body, all_body.data(), all_body.size());
+  *ops_cap = all_ops.size();
+  *body_cap = all_body.size();
+  *n_chunks_io = (int)(tab.size() / 3);
+  return OK;
 }
 
 uint32_t lzt_crc32(const uint8_t* p, size_t n, uint32_t v) {

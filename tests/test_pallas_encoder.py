@@ -1,0 +1,102 @@
+"""Device range encoder (ops/pallas_encode.py) vs the native host coder.
+
+Parity model: the native fast parse exports op streams; replaying them on
+the kernel must reproduce the native chunk bodies BYTE FOR BYTE (the
+device half of the find→parse→code pipeline, LzmaEnc.c:456-573 range
+coder semantics).  CPU runs use interpret mode — identical trace; the
+compiled path is exercised by bench.py and tools/ on the real chip.
+"""
+
+import numpy as np
+import pytest
+
+from lzma_sdk_zliblike_tpu import native
+from lzma_sdk_zliblike_tpu.models.lzma.spec import LzmaProps
+from lzma_sdk_zliblike_tpu.models.lzma import op_replay
+from lzma_sdk_zliblike_tpu.ops import pallas_encode as PE
+from tests.corpus import big_mixed, x86_like, random_bytes
+
+pytestmark = pytest.mark.skipif(not native.group_ops_available(),
+                                reason="native runtime not built")
+
+DICT = 1 << 16
+SUB = 8 << 10      # small sub-chunks: several chunk boundaries per lane
+
+
+def _parse(datas):
+    ops, tabs, bodies = [], [], []
+    for d in datas:
+        o, t, b = native.lzma2_group_ops(d, DICT, sub_size=SUB)
+        ops.append(o)
+        tabs.append(t)
+        bodies.append(b)
+    return ops, tabs, bodies
+
+
+def _run(datas):
+    ops, tabs, ref = _parse(datas)
+    # ONE padded shape for every test in this module: interpret-mode
+    # kernel compiles are minutes each, so all tests share one compile
+    ops_words, meta, out_pages, nch = PE.pack_ops_batch(
+        ops, tabs, op_pages_min=1024, out_pages4_min=1024)
+    h = PE.submit_encode_groups(ops_words, meta, out_pages=out_pages,
+                                interpret=True)
+    bodies, ok = PE.finalize_encode(h, nch)
+    return bodies, ok, ref
+
+
+def test_op_replay_matches_native():
+    """The executable spec: Python replay == native encode_segment."""
+    data = big_mixed(60_000, seed=5)
+    ops, tab, body = native.lzma2_group_ops(data, DICT, sub_size=SUB)
+    bodies = op_replay.replay_group(data, ops, tab,
+                                    LzmaProps(dict_size=DICT))
+    assert b"".join(bodies) == body
+
+
+def test_kernel_bodies_bit_exact():
+    datas = [big_mixed(30_000 + 5_000 * s, seed=s + 1) for s in range(8)]
+    bodies, ok, ref = _run(datas)
+    assert ok.all(), ok
+    for s in range(8):
+        assert b"".join(bodies[s]) == ref[s], s
+
+
+def test_kernel_edge_data():
+    datas = [
+        x86_like(24_000),                     # matched-literal heavy
+        random_bytes(12_000, seed=2),         # all literals
+        bytes(20_000),                        # zeros: shortrep/rep chains
+        (b"abcdef" * 4000)[:20_000],          # tight reps
+        big_mixed(40_000, seed=3),            # multi-chunk
+    ]
+    bodies, ok, ref = _run(datas)
+    assert ok.all(), ok
+    for s in range(len(datas)):
+        assert b"".join(bodies[s]) == ref[s], s
+
+
+def test_lane_padding_and_inactive_lanes():
+    # 3 lanes pad to 8; the pad lanes must stay inert
+    datas = [big_mixed(20_000, seed=s + 9) for s in range(3)]
+    bodies, ok, ref = _run(datas)
+    assert ok[:3].all()
+    for s in range(3):
+        assert b"".join(bodies[s]) == ref[s], s
+
+
+def test_device_coded_stream_identical_to_host_mt():
+    from lzma_sdk_zliblike_tpu.parallel.host_pool import (
+        encode_lzma2_mt, decode_lzma2_mt)
+    from lzma_sdk_zliblike_tpu.parallel.device_encode import (
+        encode_lzma2_device_coded)
+    data = big_mixed(150_000, seed=13) + random_bytes(40_000, seed=1) \
+        + big_mixed(60_000, seed=14)
+    ref, prop_r = encode_lzma2_mt(data, dict_size=1 << 16,
+                                  chunk_size=1 << 16)
+    dev, prop_d = encode_lzma2_device_coded(
+        data, dict_size=1 << 16, chunk_size=1 << 16, lanes=8,
+        interpret=True)
+    assert prop_r == prop_d
+    assert dev == ref
+    assert decode_lzma2_mt(dev, prop_d) == data
