@@ -125,6 +125,7 @@ ST_PDIST = 8
 ST_ERR = 9
 ST_PIPG = 10      # staged input page at last staging (event detection)
 ST_PCW = 11       # write word-page at last staging (event detection)
+ST_CHUNK = 12     # per-lane chunk index (chunkflow; n_chunks = done)
 # (measured dead end: moving limit/cmode out of the while carry into st
 # lanes to cut spill pressure REGRESSED S=64/128 by ~6-8 us/iter — the
 # per-use register gathers cost more than the spilled carries)
@@ -217,7 +218,24 @@ def _ablate_env() -> str:
 
 def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                  lc: int, lp: int, pb: int, max_iters: int, n_chunks: int,
-                 ablate_spec: str = "", has_copy: bool = False):
+                 ablate_spec: str = "", has_copy: bool = False,
+                 tune: str = ""):
+    tune_set = set(filter(None, tune.split(",")))
+    labyte = "labyte" in tune_set     # byte-lane lookahead register
+    noclip = "noclip" in tune_set     # drop redundant family idx clips
+    pprev = "pprev" in tune_set       # previous-page register: serve
+    # cur_w-1 dictionary reads vector-side, halving the need_m/copy
+    # scalar-staging event rate (the measured phase-0/2 staging cost)
+    stage2 = "stage2" in tune_set     # 2-bit event words (page|match):
+    # the hot match-row staging path does ONE scalar VMEM read (the
+    # ring-vs-HBM decision is precomputed vector-side into bit 30 of the
+    # m-field), and phase-2 b-rows stage only when the copy span actually
+    # crosses a source page (was: every far copy)
+    chunkflow = "chunkflow" in tune_set   # per-lane chunk progression:
+    # ONE while loop; each lane advances through its own chunk sequence
+    # via a rare gated in-body transition, instead of the global
+    # round-per-chunk lockstep whose per-round max-lane tails idled
+    # ~half of all iterations at the bench shape (measured round 4)
     layout, tot_pages = _family_layout(lc, lp)
     pg_init = [int(S.PROB_INIT)] * tot_pages
     for _nm, (_b, _w, _npg, _pk) in layout.items():
@@ -249,8 +267,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
     def kernel(meta_ref, src_ref, out_ref, status_ref,
                fam_ref, ring_ref, w_ref, m_ref, a_ref, b_ref, i0_ref, i1_ref,
-               x_ref, prev_ipg, tracked, pend_dma, needf, needm, needa, needb,
-               dsem, isem, fsem, msem, asem, bsem):
+               x_ref, p_ref, prev_ipg, tracked, pend_dma, needf, needm,
+               needa, needb, dsem, isem, fsem, msem, asem, bsem):
         lane_i = jax.lax.broadcasted_iota(_I32, (n, PAGE), 1)
         zero = jnp.zeros((n, PAGE), _I32)
         zerou = jnp.zeros((n, PAGE), _U32)
@@ -265,6 +283,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
         for _p in range(tot_pages):
             fam_ref[_p] = jnp.full((n, PAGE), pg_init[_p], _I32)
         w_ref[:] = zero
+        p_ref[:] = zero
         cp0 = pltpu.make_async_copy(src_ref.at[0], i0_ref, isem)
         cp0.start()
         cp1 = pltpu.make_async_copy(src_ref.at[min(1, in_pages - 1)],
@@ -319,6 +338,98 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 rows = jnp.where((sid == 0) & (lane_i == EVL + g),
                                  gw[None, :][:, EVL + g:EVL + g + 1], rows)
             return rows
+
+        ngr2 = -(-n // 16)  # 16 streams/word when carrying 2-bit fields
+
+        def _pack_events2(evt_p, evt_m):
+            """2-bit per-stream event fields (bit0 page, bit1 match-row),
+            16 streams per word at row 0 lanes EVL..EVL+ngr2-1."""
+            shifted = (evt_p | (evt_m << 1)) << ((sid & 15) << 1)
+            rows = jnp.zeros((n, PAGE), _I32)
+            for g in range(ngr2):
+                gw = jnp.sum(jnp.where((sid >> 4) == g, shifted, 0), axis=0)
+                rows = jnp.where((sid == 0) & (lane_i == EVL + g),
+                                 gw[None, :][:, EVL + g:EVL + g + 1], rows)
+            return rows
+
+        def scalar_stage2():
+            """stage2 staging: split page events (rare: input-page advance,
+            write-window flush) from match-row events (hot: one per matched
+            literal with a far source).  The match path costs ONE scalar
+            VMEM read — lane 1 carries m_w with the ring-vs-HBM verdict
+            precomputed vector-side at bit 30."""
+            if "stage" in ablate:
+                return
+            for g in range(ngr2):
+                ew = x_ref[0, EVL + g]
+                @pl.when(ew != 0)
+                def _(ew=ew, g=g):
+                    for s in range(g * 16, min(n, g * 16 + 16)):
+                        sh = (s - g * 16) * 2
+                        @pl.when(((ew >> sh) & 1) != 0)
+                        def _(s=s):
+                            _stage_page(s)
+                        @pl.when(((ew >> sh) & 2) != 0)
+                        def _(s=s):
+                            _stage_m(s)
+            _stage_waits()
+
+        def _stage_page(s):
+            v = x_ref[s, 0]
+            pg_i = v & 0xFFFFF
+            cu = x_ref[s, 2]
+            @pl.when(cu != tracked[s])
+            def _(cu=cu, s=s):
+                ring_ref[tracked[s] & (ring - 1), s, :] = w_ref[s, :]
+                pltpu.make_async_copy(w_ref.at[s],
+                                      out_ref.at[tracked[s], s],
+                                      fsem).start()
+                needf[s // 32] = needf[s // 32] | _bitc(s)
+                tracked[s] = cu
+            @pl.when(pg_i != prev_ipg[s])
+            def _(pg_i=pg_i, s=s):
+                i0_ref[s, :] = i1_ref[s, :]
+                i1p = jnp.minimum(pg_i + 1, in_pages - 1)
+                pltpu.make_async_copy(src_ref.at[i1p, s],
+                                      i1_ref.at[s], dsem.at[s]).start()
+                pend_dma[s // 32] = pend_dma[s // 32] | _bitc(s)
+                prev_ipg[s] = pg_i
+
+        def _stage_m(s):
+            w1 = x_ref[s, 1]
+            @pl.when((w1 >> 30) != 0)
+            def _(w1=w1, s=s):
+                m_ref[s, :] = ring_ref[w1 & (ring - 1), s, :]
+            @pl.when((w1 >> 30) == 0)
+            def _(w1=w1, s=s):
+                pltpu.make_async_copy(out_ref.at[w1 & 0x07FFFFFF, s],
+                                      m_ref.at[s], msem).start()
+                needm[s // 32] = needm[s // 32] | _bitc(s)
+
+        def _stage_copy_two(s):
+            v2 = x_ref[s, 0]
+            pg_a = v2 & 0x07FFFFFF
+            @pl.when(((v2 >> 27) & 1) != 0)
+            def _(v2=v2, pg_a=pg_a, s=s):
+                @pl.when(((v2 >> 29) & 1) != 0)
+                def _(pg_a=pg_a, s=s):
+                    a_ref[s, :] = ring_ref[pg_a & (ring - 1), s, :]
+                @pl.when(((v2 >> 29) & 1) == 0)
+                def _(pg_a=pg_a, s=s):
+                    pltpu.make_async_copy(out_ref.at[pg_a, s],
+                                          a_ref.at[s], asem).start()
+                    needa[s // 32] = needa[s // 32] | _bitc(s)
+            @pl.when(((v2 >> 28) & 1) != 0)
+            def _(v2=v2, pg_a=pg_a, s=s):
+                pg_b = jnp.minimum(pg_a + 1, out_pages4 - 1)
+                @pl.when(((v2 >> 30) & 1) != 0)
+                def _(pg_b=pg_b, s=s):
+                    b_ref[s, :] = ring_ref[pg_b & (ring - 1), s, :]
+                @pl.when(((v2 >> 30) & 1) == 0)
+                def _(pg_b=pg_b, s=s):
+                    pltpu.make_async_copy(out_ref.at[pg_b, s],
+                                          b_ref.at[s], bsem).start()
+                    needb[s // 32] = needb[s // 32] | _bitc(s)
 
         def scalar_stage():
             """Event-gated per-stream staging driven by packed x_ref words.
@@ -441,7 +552,15 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
         CHECK_EVERY = 64  # busy-check period (power of two)
 
-        def emit_stage(st, inpos, outpos, limit, cmodeb, force=False):
+        # per-chunk metadata tables (cumulative ends / flags per chunk lane;
+        # grammar: ``Lzma2Dec.c:14-26``)
+        pk_tab = meta_ref[3]         # cumulative packed end per chunk lane
+        ul_tab = meta_ref[4]         # cumulative unpacked end per chunk lane
+        fl_tab = meta_ref[5]         # bit0 = valid, bit1 = state reset,
+                                     # bit2 = uncompressed copy chunk
+
+        def emit_stage(st, inpos, outpos, limit, cmodeb, force=False,
+                       vals=None):
             """Write the NEXT iteration's staging words + event mirrors.
 
             Called at the END of each body iteration (and at chunk
@@ -454,25 +573,68 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             x_ref layout: lane 0 = staged input page | need-m flag bit 29;
             lane 1 = matched-byte word page; lane 2 = current output word
             page; row 0 lanes EVL.. = packed event words.
+
+            ``vals``, when given, supplies the post-body per-stream scalars
+            (err/plen/state/rep0/pipg/pcw) so no st register gathers run
+            here — dynamic gathers are the measured bit-path cost (round-4
+            probe), so each scalar is extracted once per iteration.
             """
             ipg = inpos >> 9
             cur_w = outpos >> 9
-            err0 = getv(st, ST_ERR) != 0
-            do = (active0 & ~err0 & ~cmodeb & (outpos < limit)
-                  & (getv(st, ST_PLEN) == 0))
-            mpos = jnp.clip(outpos - getv(st, ST_REP0) - 1, 0, dic_cap - 1)
+            if vals is None:
+                vals = dict(err=getv(st, ST_ERR) != 0,
+                            plen=getv(st, ST_PLEN),
+                            state=getv(st, ST_STATE),
+                            rep0=getv(st, ST_REP0),
+                            pipg=getv(st, ST_PIPG),
+                            pcw=getv(st, ST_PCW),
+                            chunk=getv(st, ST_CHUNK))
+            if chunkflow:
+                # a lane at its chunk end still has the NEXT chunk's first
+                # packet to decode in the transition iteration: keep the
+                # matched-literal row staged until the lane is truly done
+                # (no-reset chunks carry state >= 7 across the boundary,
+                # so the first packet can need m_ref immediately)
+                pos_gate = vals["chunk"] < n_chunks
+            else:
+                pos_gate = outpos < limit
+            do = (active0 & ~vals["err"] & ~cmodeb & pos_gate
+                  & (vals["plen"] == 0))
+            mpos = jnp.clip(outpos - vals["rep0"] - 1, 0, dic_cap - 1)
             m_w = mpos >> 9
-            need_m = do & (getv(st, ST_STATE) >= 7) & (m_w != cur_w)
+            need_m = do & (vals["state"] >= 7) & (m_w != cur_w)
+            if pprev:   # page cur_w-1 is served by the register instead
+                need_m = need_m & (m_w != cur_w - 1)
+            st = setv(st, ST_PIPG, ipg)
+            st = setv(st, ST_PCW, cur_w)
+            if stage2:
+                # lane 1 = m_w with the ring-vs-HBM verdict at bit 30 (the
+                # scalar m-path then needs only this ONE VMEM read); event
+                # words carry 2-bit page|match fields per stream
+                m_field = m_w | jnp.where(need_m & (m_w + ring >= cur_w),
+                                          1 << 30, 0)
+                packed = jnp.clip(ipg, 0, in_pages - 1)
+                if force:
+                    evt_p = zero + 1
+                else:
+                    evt_p = jnp.where((ipg != vals["pipg"])
+                                      | (cur_w != vals["pcw"]), 1, 0)
+                evt_m = jnp.where(need_m, 1, 0)
+                erows = (zero if "events" in ablate
+                         else _pack_events2(evt_p, evt_m))
+                x_ref[:] = jnp.where(lane_i == 0, packed,
+                                     jnp.where(lane_i == 1, m_field,
+                                               jnp.where(lane_i == 2, cur_w,
+                                                         erows)))
+                return st
             packed = (jnp.clip(ipg, 0, in_pages - 1)
                       | jnp.where(need_m, 1 << 29, 0))
             if force:
                 evt = zero + 1
             else:
-                evt = jnp.where((ipg != getv(st, ST_PIPG))
-                                | (cur_w != getv(st, ST_PCW)) | need_m,
+                evt = jnp.where((ipg != vals["pipg"])
+                                | (cur_w != vals["pcw"]) | need_m,
                                 1, 0)
-            st = setv(st, ST_PIPG, ipg)
-            st = setv(st, ST_PCW, cur_w)
             erows = zero if "events" in ablate else _pack_events(evt)
             x_ref[:] = jnp.where(lane_i == 0, packed,
                                  jnp.where(lane_i == 1, m_w,
@@ -497,10 +659,109 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             def _check():
                 busy_in = (active_i != 0) & (getv(st, ST_ERR) == 0) & (
                     (getv(st, ST_OUTPOS) < limit) | (getv(st, ST_PLEN) > 0))
+                if chunkflow:
+                    # a lane at a chunk boundary (outpos == limit) stays
+                    # busy until its transition advances ST_CHUNK; done
+                    # lanes carry the n_chunks sentinel
+                    busy_in = busy_in | (
+                        (active_i != 0) & (getv(st, ST_ERR) == 0)
+                        & (getv(st, ST_CHUNK) < n_chunks))
                 return jnp.where(jnp.any(busy_in), 1, 0).astype(_I32)
 
             busy_s = jax.lax.cond((it & (CHECK_EVERY - 1)) == 0,
                                   _check, lambda: jnp.int32(1))
+
+            if chunkflow:
+                # scalar staging first (it consumes only last iteration's
+                # x_ref), so i0/i1 line up with the emitted input page
+                # before the transition's header fetch reads them
+                (scalar_stage2 if stage2 else scalar_stage)()
+
+                # ---- per-lane chunk transition (gated; ~1 event per
+                # ~chunk-size iterations per lane) -------------------------
+                cvec = getv(st, ST_CHUNK)
+                outpos_t = getv(st, ST_OUTPOS)
+                plen_t = getv(st, ST_PLEN)
+                errv_t = getv(st, ST_ERR) != 0
+                fin = (active0 & ~errv_t & (outpos_t >= limit)
+                       & (plen_t == 0) & (cvec < n_chunks))
+                any_fin = jnp.any(fin)
+                # captured masks cross the cond boundaries as i32, never
+                # i1 (Mosaic materializes captured bools as i8 and cannot
+                # truncate them back — compiled-only corruption)
+                fin_i = jnp.where(fin, 1, 0)
+                cnx = jnp.minimum(cvec + 1, n_chunks - 1)
+                flags_n = gat(fl_tab, cnx)
+                # prob-model reset pages under pl.when (ref writes can't
+                # live in the value cond); the mask skips the ~errn filter
+                # — resetting an errored/done lane's probs is harmless
+                reset_pre_i = jnp.where(
+                    fin & (cvec + 1 < n_chunks)
+                    & ((flags_n & 1) != 0) & ((flags_n & 2) != 0), 1, 0)
+                @pl.when(any_fin)
+                def _():
+                    rp = reset_pre_i != 0
+                    for _p in range(tot_pages):
+                        fam_ref[_p] = jnp.where(rp, pg_init[_p],
+                                                fam_ref[_p])
+                i0v_t = i0_ref[:]
+                i1v_t = i1_ref[:]
+                # the staged input page is keyed to the PRE-transition
+                # inpos (the transition may push inpos ≤ 6 bytes across a
+                # page boundary; i0+i1 still cover the drift — all staging
+                # offset math this iteration uses ipg_stage)
+                ipg_stage = inpos >> 9
+
+                def _trans(args):
+                    rng, code, inpos, st, limit, cmode_i = args
+                    fin = fin_i != 0         # rebuilt from the i32 capture
+                    ipg_t = inpos >> 9       # the staged input page
+                    pk_end = gat(pk_tab, cvec)
+                    # verdict for the finished chunk: exact consumption
+                    # incl. the trailing renormalize (LzmaDec.c:412)
+                    consumed = inpos
+                    tail = (fin & (cmode_i == 0) & (rng < _TOP)
+                            & (consumed < pk_end))
+                    consumed = jnp.where(tail, consumed + 1, consumed)
+                    errn = fin & (consumed != pk_end)
+                    adv = fin & ~errn & (cvec + 1 < n_chunks)
+                    valid = adv & ((flags_n & 1) != 0)
+                    reset = valid & ((flags_n & 2) != 0)
+                    is_copy = valid & ((flags_n & 4) != 0) if has_copy \
+                        else valid & (zero != 0)
+                    vlz = valid & ~is_copy
+                    pk_start = pk_end
+                    pk_end2 = gat(pk_tab, cnx)
+                    inpos = jnp.where(fin & ~errn, pk_end, inpos)
+
+                    def fetch(pos):
+                        off = (pos >> 2) - (ipg_t << 7)
+                        vw = jnp.where(off < PAGE, gat(i0v_t, off),
+                                       gat(i1v_t, off - PAGE)).astype(_U32)
+                        return (vw >> ((pos & 3) << 3).astype(_U32)) & 0xFF
+                    hb = [fetch(pk_start + k) for k in range(5)]
+                    errh = vlz & ((hb[0] != 0) | (pk_end2 - pk_start < 5))
+                    rng = jnp.where(vlz, jnp.full_like(rng, _MASK32), rng)
+                    code = jnp.where(vlz, (hb[1] << 24) | (hb[2] << 16)
+                                     | (hb[3] << 8) | hb[4], code)
+                    inpos = jnp.where(vlz, pk_start + 5, inpos)
+                    limit = jnp.where(valid, gat(ul_tab, cnx),
+                                      jnp.where(fin, outpos_t, limit))
+                    cmode_i = jnp.where(fin,
+                                        jnp.where(is_copy, 1, 0), cmode_i)
+                    erra = errn | errh
+                    st = jnp.where((lane_i == ST_ERR) & erra, 1, st)
+                    st = setv(st, ST_CHUNK,
+                              jnp.where(valid, cvec + 1,
+                                        jnp.where(fin, n_chunks, cvec)))
+                    st = jnp.where(reset & (lane_i >= ST_STATE)
+                                   & (lane_i <= ST_REP3), 0, st)
+                    return (rng, code, inpos, st, limit, cmode_i)
+
+                (rng, code, inpos, st, limit, cmode_i) = jax.lax.cond(
+                    any_fin, _trans, lambda a: a,
+                    (rng, code, inpos, st, limit, cmode_i))
+                cmodeb = cmode_i != 0
 
             outpos = getv(st, ST_OUTPOS)
 
@@ -522,16 +783,28 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # The staging words for THIS iteration were emitted at the end
             # of the previous one (emit_stage) — the scalar core only
             # consumes here (software-pipelined phase 0).
-            ipg = inpos >> 9
+            # one register gather per packed scalar per iteration — every
+            # later use consumes these locals (dynamic gathers are the
+            # measured bit-path cost; see docs/ROUND4.md)
+            ipg = ipg_stage if chunkflow else (inpos >> 9)
             cur_w = outpos >> 9
             rep0c = getv(st, ST_REP0)
+            rep1c = getv(st, ST_REP1)
+            rep2c = getv(st, ST_REP2)
+            rep3c = getv(st, ST_REP3)
             statec = getv(st, ST_STATE)
+            lastbc = getv(st, ST_LAST)
+            plenc = getv(st, ST_PLEN)
+            pdistc = getv(st, ST_PDIST)
+            pipgc = getv(st, ST_PIPG)
+            pcwc = getv(st, ST_PCW)
             err0 = getv(st, ST_ERR) != 0
             do = (active0 & ~err0 & ~cmodeb & (outpos < limit)
-                  & (getv(st, ST_PLEN) == 0))
+                  & (plenc == 0))
             mpos = jnp.clip(outpos - rep0c - 1, 0, dic_cap - 1)
             m_w = mpos >> 9
-            scalar_stage()
+            if not chunkflow:   # chunkflow ran it before the transition
+                (scalar_stage2 if stage2 else scalar_stage)()
 
             if has_copy:
                 # ---- phase 0.5: copy-chunk mover ------------------------
@@ -566,46 +839,94 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 lposc = jnp.maximum(outpos - 1, 0)
                 nlastc = (gat(wnewc, lposc & (PAGE - 1))
                           >> (((lposc >> 7) & 3) << 3)) & 0xFF
-                st = setv(st, ST_LAST,
-                          jnp.where(ac, nlastc, getv(st, ST_LAST)))
+                lastbc = jnp.where(ac, nlastc, lastbc)
+                st = setv(st, ST_LAST, lastbc)
 
-            def la_fill(inpos):
-                """12-byte LE lookahead [inpos, inpos+12) from the staged
-                pages, as three u32 registers (byte inpos+k at bits 8k of
-                word k>>2).  Gathers happen only here — per-call renorm is
-                pure ALU (measured: per-call page gathers were ~16 us/iter
-                of the bit-call cost at S=128).  Each refill covers the 12
-                worst-case renorm bytes until the next one (one byte per
-                bit call; direct bits renorm at most once per 8 bits)."""
-                wbase = inpos >> 2
-                sh = ((inpos & 3) << 3).astype(_U32)
-                ws = []
-                for k in range(4):
-                    off = wbase + k - (ipg << 7)
-                    ws.append(jnp.where(off < PAGE, gat(i0_ref[:], off),
-                                        gat(i1_ref[:], off - PAGE))
-                              .astype(_U32))
-                la = []
-                for k in range(3):
-                    hi = ws[k + 1] << ((32 - sh) & 31)
-                    la.append((ws[k] >> sh)
-                              | jnp.where(sh == 0, zerou, hi))
-                return la
+            if labyte:
+                def la_fill(inpos):
+                    """Lookahead as BYTES ON LANES: lane k of the returned
+                    [S,128] register holds byte inpos+k (at most 12 are
+                    consumed per refill segment).  Per-call renorm is then
+                    ONE register gather + a counter add instead of the
+                    3-word shift chain (~10 fewer vector ops per bit call;
+                    the refill itself costs about the same as the 3-word
+                    form: 8 page gathers + a 4-way word select)."""
+                    wbase = inpos >> 2
+                    r0 = inpos & 3
+                    ws = []
+                    for j in range(4):
+                        off = wbase + j - (ipg << 7)
+                        ws.append(jnp.where(off < PAGE, gat(i0_ref[:], off),
+                                            gat(i1_ref[:], off - PAGE)))
+                    k = r0 + lane_i
+                    jw = k >> 2
+                    wsel = ws[0]
+                    for i in range(1, 4):
+                        wsel = jnp.where(jw == i, ws[i], wsel)
+                    return (wsel >> ((k & 3) << 3)) & 0xFF
 
-            la_state = {"w": la_fill(inpos)}
+                la_state = {"b": la_fill(inpos), "base": inpos,
+                            "lab": zero}
 
-            def la_byte(need):
-                """Consume one lookahead byte on `need` lanes (LE order)."""
-                w0, w1, w2 = la_state["w"]
-                byt = w0 & 0xFF
-                la_state["w"] = [
-                    jnp.where(need, (w0 >> 8) | (w1 << 24), w0),
-                    jnp.where(need, (w1 >> 8) | (w2 << 24), w1),
-                    jnp.where(need, w2 >> 8, w2)]
-                return byt
+                def la_byte(need):
+                    """Consume one lookahead byte on `need` lanes."""
+                    byt = jnp.take_along_axis(la_state["b"],
+                                              la_state["lab"], axis=1)
+                    la_state["lab"] = (la_state["lab"]
+                                       + jnp.where(need, 1, 0))
+                    return byt.astype(_U32)
+
+                def la_inpos():
+                    """True input position (base of last refill + consumed)."""
+                    return la_state["base"] + la_state["lab"]
+
+                def la_refill():
+                    pos = la_inpos()
+                    la_state["b"] = la_fill(pos)
+                    la_state["base"] = pos
+                    la_state["lab"] = zero
+            else:
+                def la_fill(inpos):
+                    """12-byte LE lookahead [inpos, inpos+12) from the staged
+                    pages, as three u32 registers (byte inpos+k at bits 8k of
+                    word k>>2).  Gathers happen only here — per-call renorm is
+                    pure ALU (measured: per-call page gathers were ~16 us/iter
+                    of the bit-call cost at S=128).  Each refill covers the 12
+                    worst-case renorm bytes until the next one (one byte per
+                    bit call; direct bits renorm at most once per 8 bits)."""
+                    wbase = inpos >> 2
+                    sh = ((inpos & 3) << 3).astype(_U32)
+                    ws = []
+                    for k in range(4):
+                        off = wbase + k - (ipg << 7)
+                        ws.append(jnp.where(off < PAGE, gat(i0_ref[:], off),
+                                            gat(i1_ref[:], off - PAGE))
+                                  .astype(_U32))
+                    la = []
+                    for k in range(3):
+                        hi = ws[k + 1] << ((32 - sh) & 31)
+                        la.append((ws[k] >> sh)
+                                  | jnp.where(sh == 0, zerou, hi))
+                    return la
+
+                la_state = {"w": la_fill(inpos)}
+
+                def la_byte(need):
+                    """Consume one lookahead byte on `need` lanes (LE order)."""
+                    w0, w1, w2 = la_state["w"]
+                    byt = w0 & 0xFF
+                    la_state["w"] = [
+                        jnp.where(need, (w0 >> 8) | (w1 << 24), w0),
+                        jnp.where(need, (w1 >> 8) | (w2 << 24), w1),
+                        jnp.where(need, w2 >> 8, w2)]
+                    return byt
 
             def renorm(rc, do):
-                """Range renormalization: one lookahead byte, no gathers."""
+                """Range renormalization: one lookahead byte, no gathers.
+
+                In labyte mode ``rc[2]`` (inpos) is STALE between refill
+                points — the true position is ``la_inpos()``, recomputed at
+                refills and at the end of phase 1."""
                 if "norenorm" in ablate:   # probe: renorm's share of bits
                     return rc
                 rng, code, inpos = rc
@@ -613,7 +934,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 byt = la_byte(need)
                 code = jnp.where(need, (code << 8) | byt, code)
                 rng = jnp.where(need, rng << 8, rng)
-                inpos = jnp.where(need, inpos + 1, inpos)
+                if not labyte:
+                    inpos = jnp.where(need, inpos + 1, inpos)
                 return (rng, code, inpos)
 
             def bit_multi(rc, parts):
@@ -642,7 +964,13 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 lns = []
                 for fam, idx, mask in parts:
                     base, width, npg, packed = layout[fam]
-                    idx = jnp.clip(idx, 0, width - 1)
+                    if not noclip:
+                        # masked-off lanes carry garbage idx; with noclip
+                        # they are bounded instead by the page-select
+                        # guards and the lane clip in gat() — provably
+                        # unused, so the clip is redundant (measured via
+                        # the tune flag, then defaulted)
+                        idx = jnp.clip(idx, 0, width - 1)
                     if "probconst" in ablate:   # probe: gather+store share
                         p = zero + S.PROB_INIT
                         continue
@@ -710,10 +1038,17 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             is_mat = do & (bm == 1)
 
             # literal
-            prev = jnp.where(outpos > 0, getv(st, ST_LAST), 0)
+            prev = jnp.where(outpos > 0, lastbc, 0)
             lit_state = ((outpos & lp_mask) << lc) + (prev >> (8 - lc))
-            # reads on the current word page come from the write window
-            mrow = jnp.where(m_w == cur_w, w_ref[:], m_ref[:])
+            # reads on the current word page come from the write window;
+            # with pprev, page cur_w-1 comes from the previous-page
+            # register (captured at the last crossing) — no scalar staging
+            if pprev:
+                mrow = jnp.where(m_w == cur_w, w_ref[:],
+                                 jnp.where(m_w == cur_w - 1, p_ref[:],
+                                           m_ref[:]))
+            else:
+                mrow = jnp.where(m_w == cur_w, w_ref[:], m_ref[:])
             mb = (gat(mrow, mpos & (PAGE - 1))
                   >> (((mpos >> 7) & 3) << 3)) & 0xFF
             in_ms = state >= 7
@@ -776,10 +1111,10 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             use_r3 = repg2 & (bg2 == 1)
 
             rot = use_r1 | use_r2 | use_r3
-            rep0 = getv(st, ST_REP0).astype(_U32)
-            rep1 = getv(st, ST_REP1).astype(_U32)
-            rep2 = getv(st, ST_REP2).astype(_U32)
-            rep3 = getv(st, ST_REP3).astype(_U32)
+            rep0 = rep0c.astype(_U32)
+            rep1 = rep1c.astype(_U32)
+            rep2 = rep2c.astype(_U32)
+            rep3 = rep3c.astype(_U32)
             dist_rep = jnp.where(use_r1, rep1, jnp.where(use_r2, rep2, rep3))
             rep3 = jnp.where(use_r3, rep2, rep3)
             rep2 = jnp.where(use_r2 | use_r3, rep1, rep2)
@@ -820,8 +1155,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 (wv0 & (((zero + 0xFF) << lsh) ^ -1)) | (lit_byte << lsh),
                 wv0)
             outpos = jnp.where(is_lit, outpos + 1, outpos)
-            st = setv(st, ST_LAST,
-                      jnp.where(is_lit, lit_byte, getv(st, ST_LAST)))
+            lastbc = jnp.where(is_lit, lit_byte, lastbc)
+            st = setv(st, ST_LAST, lastbc)
             lit_next = jnp.where(state < 4, 0,
                                  jnp.where(state < 10, state - 3, state - 6))
             mhi = zero + 1
@@ -833,7 +1168,10 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 mlm = jnp.where(lowmid, (mlm << 1) | bk, mlm)
                 mhi = jnp.where(high, (mhi << 1) | bk, mhi)
             # lookahead refill #2: covers high_2..7 + the slot tree (12)
-            la_state["w"] = la_fill(rc[2])
+            if labyte:
+                la_refill()
+            else:
+                la_state["w"] = la_fill(rc[2])
             for k in range(2, S.LEN_HIGH_BITS):
                 idx = coder * (1 << k) + (mhi - (1 << k))
                 rc, bh = bit(rc, f"high_{k}", idx, high)
@@ -884,42 +1222,73 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             (rng, code, inpos) = rc
             # lookahead refill #3: covers direct bits (<= 1 + ceil((nmax-1)/8)
             # bytes — a byte buys 8 halvings) + the spec/align trees (<= 5)
-            w0, w1, w2 = la_fill(inpos)
+            if labyte:
+                la_refill()
+                lb = la_state["b"]
 
-            def dbody(i, dc):
-                rng, code, inpos, w0, w1, w2, dval = dc
-                # ndirect > 0 exactly on `directs` lanes — avoids capturing
-                # a bool loop-invariant (Mosaic i8/i1 truncation limit)
-                act = i < ndirect
-                need = (rng < _TOP) & act
-                byt = w0 & 0xFF
-                w0 = jnp.where(need, (w0 >> 8) | (w1 << 24), w0)
-                w1 = jnp.where(need, (w1 >> 8) | (w2 << 24), w1)
-                w2 = jnp.where(need, w2 >> 8, w2)
-                code = jnp.where(need, (code << 8) | byt, code)
-                rng = jnp.where(need, rng << 8, rng)
-                inpos = jnp.where(need, inpos + 1, inpos)
-                rng = jnp.where(act, rng >> 1, rng)
-                code2 = code - rng
-                t = jnp.zeros_like(code2) - (code2 >> 31)
-                code = jnp.where(act, code2 + (rng & t), code)
-                dval = jnp.where(act, (dval << 1) + (t + 1).astype(_U32),
-                                 dval)
-                return (rng, code, inpos, w0, w1, w2, dval)
+                def dbody(i, dc):
+                    rng, code, lab, dval = dc
+                    # ndirect > 0 exactly on `directs` lanes — avoids
+                    # capturing a bool loop-invariant (Mosaic i8/i1 limit)
+                    act = i < ndirect
+                    need = (rng < _TOP) & act
+                    byt = jnp.take_along_axis(lb, lab, axis=1).astype(_U32)
+                    lab = lab + jnp.where(need, 1, 0)
+                    code = jnp.where(need, (code << 8) | byt, code)
+                    rng = jnp.where(need, rng << 8, rng)
+                    rng = jnp.where(act, rng >> 1, rng)
+                    code2 = code - rng
+                    t = jnp.zeros_like(code2) - (code2 >> 31)
+                    code = jnp.where(act, code2 + (rng & t), code)
+                    dval = jnp.where(act, (dval << 1) + (t + 1).astype(_U32),
+                                     dval)
+                    return (rng, code, lab, dval)
 
-            # the tail runs only when some lane actually decoded a
-            # direct-bits slot (rare on literal-heavy iterations).  A
-            # mid-body lax.cond on a fresh vector reduce measured ~0.2 us
-            # (tools/dev_v12_probe.py tailcond) — far below the ~2-3 us
-            # the 15-26-trip masked loop costs every iteration.
-            def _run_direct(args):
-                return jax.lax.fori_loop(0, nmax, dbody, args + (zerou,))
+                def _run_direct(args):
+                    return jax.lax.fori_loop(0, nmax, dbody, args + (zerou,))
 
-            (rng, code, inpos, w0, w1, w2, dval) = jax.lax.cond(
-                jnp.any(directs), _run_direct, lambda a: a + (zerou,),
-                (rng, code, inpos, w0, w1, w2))
-            la_state["w"] = [w0, w1, w2]
-            rc = (rng, code, inpos)
+                (rng, code, lab_n, dval) = jax.lax.cond(
+                    jnp.any(directs), _run_direct, lambda a: a + (zerou,),
+                    (rng, code, la_state["lab"]))
+                la_state["lab"] = lab_n
+                rc = (rng, code, inpos)
+            else:
+                def dbody(i, dc):
+                    rng, code, inpos, w0, w1, w2, dval = dc
+                    # ndirect > 0 exactly on `directs` lanes — avoids capturing
+                    # a bool loop-invariant (Mosaic i8/i1 truncation limit)
+                    act = i < ndirect
+                    need = (rng < _TOP) & act
+                    byt = w0 & 0xFF
+                    w0 = jnp.where(need, (w0 >> 8) | (w1 << 24), w0)
+                    w1 = jnp.where(need, (w1 >> 8) | (w2 << 24), w1)
+                    w2 = jnp.where(need, w2 >> 8, w2)
+                    code = jnp.where(need, (code << 8) | byt, code)
+                    rng = jnp.where(need, rng << 8, rng)
+                    inpos = jnp.where(need, inpos + 1, inpos)
+                    rng = jnp.where(act, rng >> 1, rng)
+                    code2 = code - rng
+                    t = jnp.zeros_like(code2) - (code2 >> 31)
+                    code = jnp.where(act, code2 + (rng & t), code)
+                    dval = jnp.where(act, (dval << 1) + (t + 1).astype(_U32),
+                                     dval)
+                    return (rng, code, inpos, w0, w1, w2, dval)
+
+                w0, w1, w2 = la_fill(inpos)
+
+                # the tail runs only when some lane actually decoded a
+                # direct-bits slot (rare on literal-heavy iterations).  A
+                # mid-body lax.cond on a fresh vector reduce measured ~0.2 us
+                # (tools/dev_v12_probe.py tailcond) — far below the ~2-3 us
+                # the 15-26-trip masked loop costs every iteration.
+                def _run_direct(args):
+                    return jax.lax.fori_loop(0, nmax, dbody, args + (zerou,))
+
+                (rng, code, inpos, w0, w1, w2, dval) = jax.lax.cond(
+                    jnp.any(directs), _run_direct, lambda a: a + (zerou,),
+                    (rng, code, inpos, w0, w1, w2))
+                la_state["w"] = [w0, w1, w2]
+                rc = (rng, code, inpos)
 
             # reverse bit trees: spec-pos (≤5 bits) and align (4 bits) are
             # lane-exclusive (specs vs directs), so each level is ONE bit
@@ -951,6 +1320,8 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             st = setv(st, ST_REP3, rep3.astype(_I32))
 
             (rng, code, inpos) = rc
+            if labyte:
+                inpos = la_inpos()   # end of phase 1: sync the true inpos
             match_lanes = len_lanes
             bad = match_lanes & (rep0 + 1 > outpos.astype(_U32))
             overrun = match_lanes & (outpos + length > limit)
@@ -959,11 +1330,9 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 err = err0 & (zero != 0)
             okm = match_lanes & ~err
             pend_len = jnp.where(okm, length,
-                                 jnp.where(shortrep & ~err, 1,
-                                           getv(st, ST_PLEN)))
+                                 jnp.where(shortrep & ~err, 1, plenc))
             pend_dist = jnp.where((okm | shortrep) & ~err,
-                                  rep0.astype(_I32) + 1,
-                                  getv(st, ST_PDIST))
+                                  rep0.astype(_I32) + 1, pdistc)
 
             # ---- phase 2: copy step (≤ 512-wl bytes) ------------------------
             # when pend_len > 0 no literal was decoded this iteration, so
@@ -972,7 +1341,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # destination is the packed word window: each of the 4 byte
             # slots gets its own masked source gather, so one iteration
             # moves up to 512 - (outpos & 511) bytes.
-            def _phase2(outpos, pend_len, st):
+            def _phase2(outpos, pend_len, st, lastb):
                 ac = active0 & ~err & (pend_len > 0)
                 d = jnp.maximum(pend_dist, 1)
                 wl512 = outpos & 511
@@ -980,11 +1349,32 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 base = jnp.maximum(outpos - d, 0)
                 spg = jnp.clip(base >> 9, 0, out_pages4 - 1)
                 spgn = jnp.minimum(spg + 1, out_pages4 - 1)
-                packed2 = (spg
-                           | jnp.where(ac & (spg != cur_w), 1 << 28, 0)
-                           | jnp.where(ac & (spgn != cur_w) & (spgn != spg),
-                                       1 << 29, 0))
-                evt2 = jnp.where((packed2 >> 28) != 0, 1, 0)
+                if pprev:   # cur_w-1 rows come from the register, not DMA
+                    na = ac & (spg != cur_w) & (spg != cur_w - 1)
+                    nb = (ac & (spgn != cur_w) & (spgn != cur_w - 1)
+                          & (spgn != spg))
+                else:
+                    na = ac & (spg != cur_w)
+                    nb = ac & (spgn != cur_w) & (spgn != spg)
+                if stage2:
+                    # the b row only matters when the copy span actually
+                    # crosses the source page end (max source offset =
+                    # b512 + min(d-1, step-1)); was: every far copy
+                    nb = nb & ((base & 511)
+                               + jnp.minimum(d - 1, step - 1) >= 512)
+                    packed2 = (spg
+                               | jnp.where(na, 1 << 27, 0)
+                               | jnp.where(nb, 1 << 28, 0)
+                               | jnp.where(na & (spg + ring >= cur_w),
+                                           1 << 29, 0)
+                               | jnp.where(nb & (spgn + ring >= cur_w),
+                                           1 << 30, 0))
+                    evt2 = jnp.where(na | nb, 1, 0)
+                else:
+                    packed2 = (spg
+                               | jnp.where(na, 1 << 28, 0)
+                               | jnp.where(nb, 1 << 29, 0))
+                    evt2 = jnp.where((packed2 >> 28) != 0, 1, 0)
                 erows2 = _pack_events(evt2)
                 x_ref[:] = jnp.where(lane_i == 0, packed2, erows2)
                 # copy-source rows: ring for the last RING pages, HBM DMA for
@@ -999,15 +1389,25 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                             for s in range(g * 32, min(n, g * 32 + 32)):
                                 @pl.when(((ew2 >> (s - g * 32)) & 1) != 0)
                                 def _(s=s):
-                                    _stage_copy_one(s)
+                                    (_stage_copy_two if stage2
+                                     else _stage_copy_one)(s)
                     _word_waits(needa, lambda s: pltpu.make_async_copy(
                         out_ref.at[0, s], a_ref.at[s], asem).wait())
                     _word_waits(needb, lambda s: pltpu.make_async_copy(
                         out_ref.at[0, s], b_ref.at[s], bsem).wait())
 
                 wv = w_ref[:]
-                av = jnp.where(spg == cur_w, wv, a_ref[:])
-                bv = jnp.where(spgn == cur_w, wv, b_ref[:])
+                if pprev:
+                    pv = p_ref[:]
+                    av = jnp.where(spg == cur_w, wv,
+                                   jnp.where(spg == cur_w - 1, pv,
+                                             a_ref[:]))
+                    bv = jnp.where(spgn == cur_w, wv,
+                                   jnp.where(spgn == cur_w - 1, pv,
+                                             b_ref[:]))
+                else:
+                    av = jnp.where(spg == cur_w, wv, a_ref[:])
+                    bv = jnp.where(spgn == cur_w, wv, b_ref[:])
                 b512 = base & 511
                 # j mod d via f32 reciprocal: int vector division has no
                 # hardware path; with j < 1024 and d >= 1 the f32 quotient
@@ -1039,18 +1439,31 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 lpos = jnp.maximum(outpos - 1, 0)
                 nlast = (gat(wnew, lpos & (PAGE - 1))
                          >> (((lpos >> 7) & 3) << 3)) & 0xFF
-                st = setv(st, ST_LAST,
-                          jnp.where(ac, nlast, getv(st, ST_LAST)))
-                return outpos, pend_len, st
+                lastb = jnp.where(ac, nlast, lastb)
+                st = setv(st, ST_LAST, lastb)
+                return outpos, pend_len, st, lastb
 
             if "copy" not in ablate:
-                outpos, pend_len, st = _phase2(outpos, pend_len, st)
+                outpos, pend_len, st, lastbc = _phase2(outpos, pend_len, st,
+                                                       lastbc)
 
             st = setv(st, ST_OUTPOS, outpos)
             st = setv(st, ST_PLEN, pend_len)
             st = setv(st, ST_PDIST, pend_dist)
             st = setv(st, ST_ERR, jnp.where(err, 1, 0))
-            st = emit_stage(st, inpos, outpos, limit, cmodeb)
+            if pprev:
+                # page-crossing iterations never write the new page (all
+                # writes are capped at the old page's end), so w still
+                # holds the COMPLETE page cur_w at the end of the body —
+                # capture it as the previous-page register
+                crossed = (outpos >> 9) != cur_w
+                p_ref[:] = jnp.where(crossed, w_ref[:], p_ref[:])
+            st = emit_stage(st, inpos, outpos, limit, cmodeb,
+                            vals=dict(err=err, plen=pend_len, state=state,
+                                      rep0=rep0.astype(_I32),
+                                      pipg=pipgc, pcw=pcwc,
+                                      chunk=(getv(st, ST_CHUNK)
+                                             if chunkflow else None)))
 
             return (it + 1, busy_s, rng, code, inpos, st, limit, cmode_i)
 
@@ -1060,16 +1473,52 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 return it < fixed_iters
             return (busy_s != 0) & (it < max_iters)
 
+        if chunkflow:
+            # ---- single loop, per-lane chunk progression -----------------
+            # chunk 0 is initialized here (the only non-gated transition);
+            # all later chunk boundaries are handled by the in-body gated
+            # transition, so no lane ever idles waiting for another lane's
+            # chunk round to finish.
+            flags0 = gat(fl_tab, zero)
+            valid0 = active0 & ((flags0 & 1) != 0)
+            is_copy0 = valid0 & ((flags0 & 4) != 0) if has_copy else \
+                valid0 & (zero != 0)
+            vlz0 = valid0 & ~is_copy0
+            pk_end0 = gat(pk_tab, zero)
+            limit0 = jnp.where(valid0, gat(ul_tab, zero), zero)
+            i0v = i0_ref[:]
+            i1v = i1_ref[:]
+
+            def fetch0(pos):
+                off = pos >> 2
+                vw = jnp.where(off < PAGE, gat(i0v, off),
+                               gat(i1v, off - PAGE)).astype(_U32)
+                return (vw >> ((pos & 3) << 3).astype(_U32)) & 0xFF
+            hb0 = [fetch0(zero + k) for k in range(5)]
+            errh0 = vlz0 & ((hb0[0] != 0) | (pk_end0 < 5))
+            rng0 = jnp.full((n, PAGE), _MASK32, _U32)
+            code0 = jnp.where(vlz0, (hb0[1] << 24) | (hb0[2] << 16)
+                              | (hb0[3] << 8) | hb0[4], zerou)
+            inpos0 = jnp.where(vlz0, zero + 5, zero)
+            st0 = zero
+            st0 = jnp.where(lane_i == ST_PDIST, 1, st0)
+            st0 = jnp.where((lane_i == ST_ERR) & errh0, 1, st0)
+            st0 = setv(st0, ST_CHUNK,
+                       jnp.where(valid0, zero, zero + n_chunks))
+            st0 = emit_stage(st0, inpos0, zero, limit0, is_copy0,
+                             force=True)
+            init0 = (jnp.int32(0), jnp.int32(1), rng0, code0, inpos0, st0,
+                     limit0, jnp.where(is_copy0, 1, 0))
+            finw = jax.lax.while_loop(cond, body, init0)
+            (itt, _b, rng, code, inpos, st, _lim, _cm) = finw
+        else:
+            itt = None   # set by the round loop below
+
         # ---- outer loop: one round per chunk of the group ------------------
         # A group is a sequence of LZMA chunks sharing the dictionary
         # (``Lzma2Dec.c:14-26`` grammar); chunk boundaries re-init the range
         # coder, and state-reset chunks additionally re-init the probability
         # model, state, and reps while the dictionary (outpos) continues.
-        pk_tab = meta_ref[3]         # cumulative packed end per chunk lane
-        ul_tab = meta_ref[4]         # cumulative unpacked end per chunk lane
-        fl_tab = meta_ref[5]         # bit0 = valid, bit1 = state reset,
-                                     # bit2 = uncompressed copy chunk
-
         def round_fn(c, carry):
             (rng, code, inpos, st, itt) = carry
             pk_end = gat(pk_tab, zero + c)
@@ -1096,12 +1545,14 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             ipg0 = jnp.where(valid, pk_start >> 9, inpos >> 9)
             packed0 = jnp.clip(ipg0, 0, in_pages - 1)
             # chunk transitions force every stream through the staging body
-            # (event word all-ones) so the RC header bytes below are staged
+            # (event word all-ones; page bits only under stage2) so the RC
+            # header bytes below are staged
+            ev_force = np.int32(np.uint32(0x55555555)) if stage2 else -1
             x_ref[:] = jnp.where(lane_i == 0, packed0,
                                  jnp.where(lane_i == 2, outpos0 >> 9,
                                            jnp.where(lane_i >= PAGE - 32,
-                                                     -1, 0)))
-            scalar_stage()
+                                                     ev_force, 0)))
+            (scalar_stage2 if stage2 else scalar_stage)()
 
             # RC init: 5 header bytes, first must be 0 (LzmaDec.c:729-746)
             def fetch(pos):
@@ -1143,15 +1594,16 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             inpos = jnp.where(valid & ~errn, pk_end, inpos)
             return (rng, code, inpos, st, itt + it)
 
-        st0 = zero
-        st0 = jnp.where(lane_i == ST_PDIST, 1, st0)
-        carry0 = (jnp.full((n, PAGE), _MASK32, _U32),     # rng
-                  zerou,                                   # code
-                  zero,                                    # inpos
-                  st0,                                     # packed state
-                  jnp.int32(0))                            # total iterations
-        (rng, code, inpos, st, itt) = jax.lax.fori_loop(
-            0, n_chunks, round_fn, carry0)
+        if not chunkflow:
+            st0 = zero
+            st0 = jnp.where(lane_i == ST_PDIST, 1, st0)
+            carry0 = (jnp.full((n, PAGE), _MASK32, _U32),  # rng
+                      zerou,                               # code
+                      zero,                                # inpos
+                      st0,                                 # packed state
+                      jnp.int32(0))                        # total iterations
+            (rng, code, inpos, st, itt) = jax.lax.fori_loop(
+                0, n_chunks, round_fn, carry0)
         err = getv(st, ST_ERR) != 0
         outpos = getv(st, ST_OUTPOS)
 
@@ -1179,17 +1631,31 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
     return kernel, tot_pages
 
 
+def _default_tune() -> str:
+    """Kernel tuning flags (jit-static), env-overridable for A/B probes.
+
+    Unlike LZT_ABLATE these variants preserve bit-exactness; the default
+    is the measured-fastest configuration."""
+    return os.environ.get("LZT_TUNE", TUNE_DEFAULT)
+
+
+TUNE_DEFAULT = ""
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n_streams", "in_pages", "out_pages",
                                     "lc", "lp", "pb", "n_chunks",
-                                    "interpret", "ablate_spec", "has_copy"))
+                                    "interpret", "ablate_spec", "has_copy",
+                                    "tune"))
 def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
                  lc, lp, pb, n_chunks=1, interpret=False, ablate_spec="",
-                 has_copy=False):
+                 has_copy=False, tune=None):
+    if tune is None:
+        tune = _default_tune()
     max_iters = out_pages * PAGE + 4096
     kernel, tot_pages = _make_kernel(n_streams, in_pages, out_pages,
                                      lc, lp, pb, max_iters, n_chunks,
-                                     ablate_spec, has_copy)
+                                     ablate_spec, has_copy, tune)
     n = n_streams
     return pl.pallas_call(
         kernel,
@@ -1211,6 +1677,7 @@ def _decode_call(meta, src_words, *, n_streams, in_pages, out_pages,
             pltpu.VMEM((n, PAGE), _I32),              # I0 input page
             pltpu.VMEM((n, PAGE), _I32),              # I1 input page+1
             pltpu.VMEM((n, PAGE), _I32),              # X  scalar xfer
+            pltpu.VMEM((n, PAGE), _I32),              # P  previous page reg
             pltpu.SMEM((n,), _I32),                   # prev input page
             pltpu.SMEM((n,), _I32),                   # tracked write page
             pltpu.SMEM((-(-n // 32),), _I32),         # prefetch DMA bitmask
@@ -1266,7 +1733,8 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
         lc=lc, lp=lp, pb=pb, n_chunks=n_chunks,
         interpret=_resolve_interpret(interpret),
         ablate_spec=_ablate_env(),
-        has_copy=bool((np.asarray(flags) & 4).any()))
+        has_copy=bool((np.asarray(flags) & 4).any()),
+        tune=_default_tune())
 
 
 def _resolve_interpret(interpret):
@@ -1329,11 +1797,13 @@ def submit_groups_sharded(src: np.ndarray, pack_ends: np.ndarray,
     interpret = _resolve_interpret(interpret)
     has_copy = bool((np.asarray(flags) & 4).any())
 
+    tune = _default_tune()
+
     def per_device(m, w):
         return _decode_call(m, w, n_streams=n // ndev, in_pages=in_pages,
                             out_pages=out_pages, lc=lc, lp=lp, pb=pb,
                             n_chunks=n_chunks, interpret=interpret,
-                            has_copy=has_copy)
+                            has_copy=has_copy, tune=tune)
 
     lane_spec = PartitionSpec(None, axis, None)
     f = shard_map(per_device, mesh=mesh,
