@@ -231,6 +231,10 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
     # ring-vs-HBM decision is precomputed vector-side into bit 30 of the
     # m-field), and phase-2 b-rows stage only when the copy span actually
     # crosses a source page (was: every far copy)
+    p2one = "p2one" in tune_set       # phase-2 copies one dynamic byte
+    # slot (<= 128 B/iter instead of 512): 2 gathers + ~20 ops instead of
+    # 8 + ~50; matches > 128 B (0.3% extra iterations on the measured
+    # length distribution) pay the difference
     chunkflow = "chunkflow" in tune_set   # per-lane chunk progression:
     # ONE while loop; each lane advances through its own chunk sequence
     # via a rare gated in-body transition, instead of the global
@@ -309,7 +313,13 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                        axis=1)
 
         def getv(st, k):
-            """Broadcast packed per-stream scalar k to all lanes."""
+            """Broadcast packed per-stream scalar k to all lanes.
+
+            ``k`` is a Python int, so the slice is static; the getvslice
+            variant trades the dynamic register gather for a static
+            1-lane slice + lane broadcast."""
+            if "getvslice" in tune_set:
+                return jnp.broadcast_to(st[:, k:k + 1], (n, PAGE))
             return gat(st, zero + k)
 
         def setv(st, k, v):
@@ -1345,7 +1355,13 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 ac = active0 & ~err & (pend_len > 0)
                 d = jnp.maximum(pend_dist, 1)
                 wl512 = outpos & 511
-                step = jnp.where(ac, jnp.minimum(pend_len, 512 - wl512), 0)
+                if p2one:
+                    step = jnp.where(
+                        ac, jnp.minimum(pend_len,
+                                        PAGE - (wl512 & (PAGE - 1))), 0)
+                else:
+                    step = jnp.where(ac,
+                                     jnp.minimum(pend_len, 512 - wl512), 0)
                 base = jnp.maximum(outpos - d, 0)
                 spg = jnp.clip(base >> 9, 0, out_pages4 - 1)
                 spgn = jnp.minimum(spg + 1, out_pages4 - 1)
@@ -1413,26 +1429,46 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 # hardware path; with j < 1024 and d >= 1 the f32 quotient
                 # is within 1 of truth, fixed by one correction select
                 rec = 1.0 / d.astype(jnp.float32)
-                wnew = zero
-                for r in range(4):
-                    j = (r * PAGE + lane_i) - wl512
-                    if "nomod" in ablate:
-                        jm = jnp.where(j > 0, j, 0)
-                    elif "intmod" in ablate:
-                        jm = jnp.where(j > 0, j % d, 0)
-                    else:
-                        q = (j.astype(jnp.float32) * rec).astype(_I32)
-                        jm = j - q * d
-                        jm = jnp.where(jm < 0, jm + d,
-                                       jnp.where(jm >= d, jm - d, jm))
-                        jm = jnp.where(j > 0, jm, 0)
-                    off = b512 + jm      # [0, 1022]: 2 word rows cover it
+                if p2one:
+                    # one DYNAMIC byte slot: bytes [wl512, wl512+step) all
+                    # live in slot wl512>>7 (step was capped above)
+                    sh = ((wl512 >> 7) & 3) << 3
+                    j = lane_i - (wl512 & (PAGE - 1))
+                    q = (j.astype(jnp.float32) * rec).astype(_I32)
+                    jm = j - q * d
+                    jm = jnp.where(jm < 0, jm + d,
+                                   jnp.where(jm >= d, jm - d, jm))
+                    jm = jnp.where(j > 0, jm, 0)
+                    off = b512 + jm
                     word = jnp.where(off < 512, gat(av, off & (PAGE - 1)),
                                      gat(bv, off & (PAGE - 1)))
                     byte = (word >> (((off >> 7) & 3) << 3)) & 0xFF
-                    keep = (wv >> (r << 3)) & 0xFF
                     wmask = ac & (j >= 0) & (j < step)
-                    wnew = wnew | (jnp.where(wmask, byte, keep) << (r << 3))
+                    bsel = jnp.where(wmask, 0xFF, 0) << sh
+                    wnew = (wv & ~bsel) | (jnp.where(wmask, byte, 0) << sh)
+                else:
+                    wnew = zero
+                    for r in range(4):
+                        j = (r * PAGE + lane_i) - wl512
+                        if "nomod" in ablate:
+                            jm = jnp.where(j > 0, j, 0)
+                        elif "intmod" in ablate:
+                            jm = jnp.where(j > 0, j % d, 0)
+                        else:
+                            q = (j.astype(jnp.float32) * rec).astype(_I32)
+                            jm = j - q * d
+                            jm = jnp.where(jm < 0, jm + d,
+                                           jnp.where(jm >= d, jm - d, jm))
+                            jm = jnp.where(j > 0, jm, 0)
+                        off = b512 + jm  # [0, 1022]: 2 word rows cover it
+                        word = jnp.where(off < 512,
+                                         gat(av, off & (PAGE - 1)),
+                                         gat(bv, off & (PAGE - 1)))
+                        byte = (word >> (((off >> 7) & 3) << 3)) & 0xFF
+                        keep = (wv >> (r << 3)) & 0xFF
+                        wmask = ac & (j >= 0) & (j < step)
+                        wnew = wnew | (jnp.where(wmask, byte, keep)
+                                       << (r << 3))
                 w_ref[:] = wnew
                 outpos = jnp.where(ac, outpos + step, outpos)
                 pend_len = jnp.where(ac, pend_len - step, pend_len)
@@ -1639,7 +1675,9 @@ def _default_tune() -> str:
     return os.environ.get("LZT_TUNE", TUNE_DEFAULT)
 
 
-TUNE_DEFAULT = ""
+# measured round 4 (docs/ROUND4.md): per-lane chunk progression + the
+# staging diet; FULL real-workload decode 8.1 -> 18.5 MB/s on-chip
+TUNE_DEFAULT = "pprev,stage2,chunkflow"
 
 
 @functools.partial(jax.jit,

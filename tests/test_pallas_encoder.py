@@ -35,10 +35,13 @@ def _parse(datas):
 
 def _run(datas):
     ops, tabs, ref = _parse(datas)
-    # ONE padded shape for every test in this module: interpret-mode
-    # kernel compiles are minutes each, so all tests share one compile
+    # ONE padded shape for every test in this module, and a SMALL one:
+    # interpret-mode compile time explodes with the padded page counts
+    # (measured round 4: (64,32) pages ~1 min, (1024,1024) >55 min), so
+    # the corpora below are sized to fit (256,64) — max measured need is
+    # 188 op pages (the literal-dense x86 lane) and 52 out word-pages
     ops_words, meta, out_pages, nch = PE.pack_ops_batch(
-        ops, tabs, op_pages_min=1024, out_pages4_min=1024)
+        ops, tabs, op_pages_min=256, out_pages4_min=64)
     h = PE.submit_encode_groups(ops_words, meta, out_pages=out_pages,
                                 interpret=True)
     bodies, ok = PE.finalize_encode(h, nch)
@@ -55,7 +58,7 @@ def test_op_replay_matches_native():
 
 
 def test_kernel_bodies_bit_exact():
-    datas = [big_mixed(30_000 + 5_000 * s, seed=s + 1) for s in range(8)]
+    datas = [big_mixed(12_000 + 2_000 * s, seed=s + 1) for s in range(8)]
     bodies, ok, ref = _run(datas)
     assert ok.all(), ok
     for s in range(8):
@@ -64,11 +67,11 @@ def test_kernel_bodies_bit_exact():
 
 def test_kernel_edge_data():
     datas = [
-        x86_like(24_000),                     # matched-literal heavy
-        random_bytes(12_000, seed=2),         # all literals
-        bytes(20_000),                        # zeros: shortrep/rep chains
-        (b"abcdef" * 4000)[:20_000],          # tight reps
-        big_mixed(40_000, seed=3),            # multi-chunk
+        x86_like(12_000),                     # matched-literal heavy
+        random_bytes(8_000, seed=2),          # all literals
+        bytes(12_000),                        # zeros: shortrep/rep chains
+        (b"abcdef" * 2000)[:12_000],          # tight reps
+        big_mixed(16_000, seed=3),            # multi-chunk
     ]
     bodies, ok, ref = _run(datas)
     assert ok.all(), ok
@@ -78,7 +81,7 @@ def test_kernel_edge_data():
 
 def test_lane_padding_and_inactive_lanes():
     # 3 lanes pad to 8; the pad lanes must stay inert
-    datas = [big_mixed(20_000, seed=s + 9) for s in range(3)]
+    datas = [big_mixed(12_000, seed=s + 9) for s in range(3)]
     bodies, ok, ref = _run(datas)
     assert ok[:3].all()
     for s in range(3):
@@ -90,12 +93,14 @@ def test_device_coded_stream_identical_to_host_mt():
         encode_lzma2_mt, decode_lzma2_mt)
     from lzma_sdk_zliblike_tpu.parallel.device_encode import (
         encode_lzma2_device_coded)
-    data = big_mixed(150_000, seed=13) + random_bytes(40_000, seed=1) \
-        + big_mixed(60_000, seed=14)
+    # chunk 32 KB keeps the e2e path's own compiled shape small too
+    # (_op_pages_cap: 130 pages; the 64 KB shape compiled for minutes)
+    data = big_mixed(90_000, seed=13) + random_bytes(20_000, seed=1) \
+        + big_mixed(40_000, seed=14)
     ref, prop_r = encode_lzma2_mt(data, dict_size=1 << 16,
-                                  chunk_size=1 << 16)
+                                  chunk_size=1 << 15)
     dev, prop_d = encode_lzma2_device_coded(
-        data, dict_size=1 << 16, chunk_size=1 << 16, lanes=8,
+        data, dict_size=1 << 16, chunk_size=1 << 15, lanes=8,
         interpret=True)
     assert prop_r == prop_d
     assert dev == ref
