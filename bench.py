@@ -461,8 +461,37 @@ def _compute_rate(stream, groups, shape):
     from lzma_sdk_zliblike_tpu.parallel.scheduler import BatchedLzma2Decoder
 
     dec = BatchedLzma2Decoder(shape, engine="pallas")
-    lane_groups = [g for g in groups if dec._eligible(g)][:shape.n_lanes]
-    meta, words, dims = dec._pack_batch_pallas(stream, lane_groups)
+    eligible = [gi for gi, g in enumerate(groups) if dec._eligible(g)]
+    k = dec._multi_k(groups, eligible)
+    if k > 1:
+        # mirror the production multi-group packing (K dict-reset groups
+        # per lane): time ONE such batch on pre-packed resident inputs
+        take = sorted(eligible,
+                      key=lambda gi: -sum(c.pack_size
+                                          for c in groups[gi]))
+        take = take[:k * shape.n_lanes]
+        lanes = [[] for _ in range(shape.n_lanes)]
+        unp = [0] * shape.n_lanes
+        for gi in take:
+            li = min(range(shape.n_lanes), key=lambda i: unp[i])
+            u = sum(c.unpack_size for c in groups[gi])
+            if unp[li] + u > k * shape.dic_cap:
+                continue
+            lanes[li].append(gi)
+            unp[li] += u
+        src, pe, ue, fl, act, _n_chunks = dec._assemble_multi(
+            stream, [[groups[gi] for gi in lane] for lane in lanes], k)
+        meta, words, dims = P._prep_groups(src, pe, ue, fl, act,
+                                           dic_cap=k * shape.dic_cap)
+        lane_unpack = [sum(sum(c.unpack_size for c in groups[gi])
+                           for gi in lane) for lane in lanes]
+        unpack = sum(lane_unpack)
+        n_check = sum(1 for lane in lanes if lane)
+    else:
+        lane_groups = [groups[gi] for gi in eligible][:shape.n_lanes]
+        meta, words, dims = dec._pack_batch_pallas(stream, lane_groups)
+        unpack = sum(sum(c.unpack_size for c in g) for g in lane_groups)
+        n_check = len(lane_groups)
     n, in_pages, out_pages, n_chunks = dims
     meta_d = jnp.asarray(meta)
     words_d = jnp.asarray(words)
@@ -480,8 +509,7 @@ def _compute_rate(stream, groups, shape):
     t = time.time()
     status = np.asarray(run()[1])
     dt = time.time() - t
-    unpack = sum(sum(c.unpack_size for c in g) for g in lane_groups)
-    assert (status[0, :len(lane_groups), 0] != 0).all()
+    assert (status[0, :n_check, 0] != 0).all()
     return unpack / dt / 1e6
 
 

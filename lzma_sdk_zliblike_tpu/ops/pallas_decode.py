@@ -126,6 +126,9 @@ ST_ERR = 9
 ST_PIPG = 10      # staged input page at last staging (event detection)
 ST_PCW = 11       # write word-page at last staging (event detection)
 ST_CHUNK = 12     # per-lane chunk index (chunkflow; n_chunks = done)
+ST_DBASE = 13     # dictionary base: outpos at the lane's last dict-reset
+                  # chunk (multi-group lanes decode several dict-reset
+                  # groups back to back; flags bit3 rebases here)
 # (measured dead end: moving limit/cmode out of the while carry into st
 # lanes to cut spill pressure REGRESSED S=64/128 by ~6-8 us/iter — the
 # per-use register gathers cost more than the spilled carries)
@@ -766,6 +769,12 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                                         jnp.where(fin, n_chunks, cvec)))
                     st = jnp.where(reset & (lane_i >= ST_STATE)
                                    & (lane_i <= ST_REP3), 0, st)
+                    # flags bit3 = dict reset: the next group of a
+                    # multi-group lane starts here; coder positions and
+                    # match-distance validity rebase to this outpos
+                    dicreset = valid & ((flags_n & 8) != 0)
+                    st = jnp.where((lane_i == ST_DBASE) & dicreset,
+                                   outpos_t, st)
                     return (rng, code, inpos, st, limit, cmode_i)
 
                 (rng, code, inpos, st, limit, cmode_i) = jax.lax.cond(
@@ -804,6 +813,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             rep3c = getv(st, ST_REP3)
             statec = getv(st, ST_STATE)
             lastbc = getv(st, ST_LAST)
+            dbasec = getv(st, ST_DBASE)
             plenc = getv(st, ST_PLEN)
             pdistc = getv(st, ST_PDIST)
             pipgc = getv(st, ST_PIPG)
@@ -1038,7 +1048,11 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 return bit_multi(rc, [(fam, idx, do)])
 
             # ---- phase 1: packet decode ------------------------------------
-            pos_state = outpos & pb_mask
+            # all coder positions are relative to the lane's dictionary
+            # base (0 unless multi-group lanes rebased at a dict-reset
+            # chunk); dictionary ADDRESSES (mpos, copies) stay absolute —
+            # the packed output is physically contiguous across groups
+            pos_state = (outpos - dbasec) & pb_mask
             state = statec
             rc = (rng, code, inpos)
 
@@ -1048,8 +1062,9 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             is_mat = do & (bm == 1)
 
             # literal
-            prev = jnp.where(outpos > 0, lastbc, 0)
-            lit_state = ((outpos & lp_mask) << lc) + (prev >> (8 - lc))
+            prev = jnp.where(outpos > dbasec, lastbc, 0)
+            lit_state = (((outpos - dbasec) & lp_mask) << lc) \
+                + (prev >> (8 - lc))
             # reads on the current word page come from the write window;
             # with pprev, page cur_w-1 comes from the previous-page
             # register (captured at the last crossing) — no scalar staging
@@ -1333,7 +1348,7 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             if labyte:
                 inpos = la_inpos()   # end of phase 1: sync the true inpos
             match_lanes = len_lanes
-            bad = match_lanes & (rep0 + 1 > outpos.astype(_U32))
+            bad = match_lanes & (rep0 + 1 > (outpos - dbasec).astype(_U32))
             overrun = match_lanes & (outpos + length > limit)
             err = err0 | marker | bad | overrun
             if "noerr" in ablate:   # timing probes: keep garbage lanes alive
@@ -1754,8 +1769,12 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
     bytes) back to back, no LZMA2 chunk headers.  pack_ends/unpack_ends:
     [S, C] int32 cumulative ends per chunk; flags: [S, C] (bit0 valid,
     bit1 state reset — chunk 0 must NOT set bit1, the kernel starts
-    fresh; bit2 uncompressed copy chunk).  Invalid (padding) chunk
-    entries must repeat the previous cumulative values with flags=0.
+    fresh; bit2 uncompressed copy chunk; bit3 dict reset — a lane may
+    carry SEVERAL dict-reset groups back to back, their chunk tables
+    concatenated, each group's first chunk flagged bit1|bit3: coder
+    positions and distance validity rebase while the output stays
+    physically contiguous).  Invalid (padding) chunk entries must repeat
+    the previous cumulative values with flags=0.
 
     JAX dispatch is asynchronous: the returned (dic, status) device arrays
     materialize later, so callers can queue several batches back-to-back
@@ -1765,6 +1784,12 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
     meta, words, dims = _prep_groups(src, pack_ends, unpack_ends, flags,
                                      active, dic_cap=dic_cap)
     n, in_pages, out_pages, n_chunks = dims
+    tune = _default_tune()
+    if bool((np.asarray(flags) & 8).any()):
+        # flags bit3 (in-lane dict reset: multi-group lanes) is only
+        # decoded by the chunkflow transition path
+        assert "chunkflow" in tune.split(","), \
+            "multi-group lanes (flags bit3) require the chunkflow kernel"
     return _decode_call(
         jnp.asarray(meta), jnp.asarray(words),
         n_streams=n, in_pages=in_pages, out_pages=out_pages,
@@ -1772,7 +1797,7 @@ def submit_groups(src: np.ndarray, pack_ends: np.ndarray,
         interpret=_resolve_interpret(interpret),
         ablate_spec=_ablate_env(),
         has_copy=bool((np.asarray(flags) & 4).any()),
-        tune=_default_tune())
+        tune=tune)
 
 
 def _resolve_interpret(interpret):

@@ -117,6 +117,15 @@ class BatchedLzma2Decoder:
         s = self.shape
         device_idx.sort(
             key=lambda gi: -sum(c.pack_size for c in groups[gi]))
+        # multi-group lanes: when there are more eligible groups than
+        # lanes, pack several dict-reset groups back to back per lane
+        # (kernel flags bit3 rebases the coder positions) — the per-batch
+        # max-lane tail then covers K groups' work instead of idling the
+        # short lanes, and there are K x fewer kernel dispatches
+        multik = self._multi_k(groups, device_idx)
+        if multik > 1:
+            return self._decode_groups_multi(stream, groups, device_idx,
+                                             results, multik)
         batches = [device_idx[base:base + s.n_lanes]
                    for base in range(0, len(device_idx), s.n_lanes)]
         # pipeline: submit every pallas-eligible batch before finalizing any
@@ -142,6 +151,135 @@ class BatchedLzma2Decoder:
             for gi, data in zip(lane_idx, outs):
                 results[gi] = data
         return results  # type: ignore[return-value]
+
+    def _multi_k(self, groups, device_idx) -> int:
+        """Groups-per-lane target for multi-group lanes (1 = off)."""
+        s = self.shape
+        if self.engine != "pallas" or len(device_idx) <= s.n_lanes:
+            return 1
+        from ..ops.pallas_decode import _default_tune
+        if "chunkflow" not in _default_tune().split(","):
+            return 1   # flags bit3 needs the chunkflow transition path
+        if not all(not groups[gi][0].is_lzma
+                   or groups[gi][0].mode >= framing.MODE_STATE
+                   for gi in device_idx):
+            return 1
+        return min(4, -(-len(device_idx) // s.n_lanes))
+
+    def _decode_groups_multi(self, stream, groups, device_idx, results,
+                             k: int):
+        """Pallas path with K dict-reset groups packed per lane."""
+        s = self.shape
+        remaining = list(device_idx)
+        pending: list[tuple[list[list[int]], object]] = []
+        while remaining:
+            take, remaining = (remaining[:k * s.n_lanes],
+                               remaining[k * s.n_lanes:])
+            lanes: list[list[int]] = [[] for _ in range(s.n_lanes)]
+            load = [0] * s.n_lanes
+            unp = [0] * s.n_lanes
+            nch = [0] * s.n_lanes
+            for gi in take:              # LPT: least-loaded lane first
+                g = groups[gi]
+                p = sum(c.pack_size for c in g)
+                u = sum(c.unpack_size for c in g)
+                for li in sorted(range(s.n_lanes),
+                                 key=lambda i: load[i]):
+                    if (unp[li] + u <= k * s.dic_cap
+                            and load[li] + p <= k * s.pack_cap
+                            and nch[li] + len(g) <= 128):
+                        lanes[li].append(gi)
+                        load[li] += p
+                        unp[li] += u
+                        nch[li] += len(g)
+                        break
+                else:                    # rare bin-packing overflow
+                    remaining.insert(0, gi)
+            TRACE.add("scheduler.pallas_multi_batches")
+            pending.append((lanes, self._submit_batch_pallas_multi(
+                stream, [[groups[gi] for gi in lane] for lane in lanes],
+                k)))
+        for lanes, handle in pending:
+            self._finalize_batch_pallas_multi(
+                handle, lanes, groups, stream, results, k)
+        return results
+
+    def _assemble_multi(self, stream, lane_lists, k: int):
+        """Like _assemble, but each lane holds a LIST of dict-reset
+        groups concatenated; every group's first chunk after the first
+        carries flags bit1|bit3 (state reset + dict rebase)."""
+        s = self.shape
+        n = s.n_lanes
+        n_chunks = max((sum(len(g) for g in lg) for lg in lane_lists),
+                       default=1)
+        n_chunks = min(128, -(-max(1, n_chunks) // 4) * 4)
+        src = np.zeros((n, k * s.pack_cap), np.uint8)
+        pe = np.zeros((n, n_chunks), np.int32)
+        ue = np.zeros((n, n_chunks), np.int32)
+        fl = np.zeros((n, n_chunks), np.int32)
+        act = np.zeros(n, np.int32)
+        for li, lg in enumerate(lane_lists):
+            if not lg:
+                continue
+            acc_p = acc_u = 0
+            j = 0
+            for gi2, g in enumerate(lg):
+                for ci, c in enumerate(g):
+                    src[li, acc_p:acc_p + c.pack_size] = np.frombuffer(
+                        stream, np.uint8, c.pack_size, c.data_off)
+                    acc_p += c.pack_size
+                    acc_u += c.unpack_size
+                    pe[li, j] = acc_p
+                    ue[li, j] = acc_u
+                    f = 1 | (0 if c.is_lzma else 4)
+                    if ci == 0 and gi2 > 0:
+                        f |= 2 | 8           # group boundary in-lane
+                    elif ci > 0 and c.is_lzma and \
+                            c.mode >= framing.MODE_STATE:
+                        f |= 2
+                    fl[li, j] = f
+                    j += 1
+            pe[li, j:] = acc_p
+            ue[li, j:] = acc_u
+            act[li] = 1
+        return src, pe, ue, fl, act, n_chunks
+
+    def _submit_batch_pallas_multi(self, stream, lane_lists, k: int):
+        from ..ops import pallas_decode as P
+
+        s = self.shape
+        src, pe, ue, fl, act, _ = self._assemble_multi(stream, lane_lists,
+                                                       k)
+        return P.submit_groups(src, pe, ue, fl, act,
+                               dic_cap=k * s.dic_cap,
+                               lc=s.lc, lp=s.lp, pb=s.pb)
+
+    def _finalize_batch_pallas_multi(self, handle, lanes, groups, stream,
+                                     results, k: int):
+        """Materialize a multi-group batch; failed lanes retry per group
+        on the host (one corrupt group fails alone)."""
+        from ..ops import pallas_decode as P
+
+        s = self.shape
+        out, ok, _consumed = P.finalize_chunks(handle,
+                                               dic_cap=k * s.dic_cap)
+        for li, lane in enumerate(lanes):
+            off = 0
+            for gi in lane:
+                g = groups[gi]
+                u = sum(c.unpack_size for c in g)
+                if ok[li]:
+                    results[gi] = out[li, off:off + u].tobytes()
+                else:
+                    TRACE.add("scheduler.lane_retries")
+                    try:
+                        results[gi] = framing.decode_chunks(stream, g)
+                    except Exception as e:
+                        raise DataError(
+                            f"LZMA2 decode failed for dict-reset group "
+                            f"{gi} (device verdict and host retry both "
+                            f"failed): {e}") from e
+                off += u
 
     def _pack_batch_pallas(self, stream: bytes,
                            lane_groups: list[list[framing.Chunk]]):

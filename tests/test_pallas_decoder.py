@@ -145,6 +145,40 @@ print("PALLAS_INTERPRET_OK", flush=True)
 """
 
 
+def test_multi_group_lanes_interpret():
+    """K dict-reset groups packed per lane (kernel flags bit3): the
+    scheduler's multi-group batching decodes bit-exactly and a corrupt
+    group still fails alone (host retry raises for it)."""
+    import numpy as np  # noqa: F401
+    from tests.corpus import big_mixed, random_bytes
+    from lzma_sdk_zliblike_tpu.models.lzma2 import framing
+    from lzma_sdk_zliblike_tpu.parallel.scheduler import (
+        BatchedLzma2Decoder, BatchShape)
+    from lzma_sdk_zliblike_tpu.utils.errors import DataError
+    os.environ["LZT_PALLAS_INTERPRET"] = "1"
+
+    chunk = 4 << 10
+    data = (big_mixed(17 * chunk) + random_bytes(chunk, seed=4)
+            + big_mixed(2 * chunk, seed=7))
+    stream, prop = framing.encode(data, dict_size=chunk, chunk_size=chunk)
+    groups = framing.split_groups(framing.scan(stream)[0])
+    assert len(groups) > 8, len(groups)   # forces multi-group packing
+    dec = BatchedLzma2Decoder(
+        BatchShape(n_lanes=8, pack_cap=chunk + 2048, dic_cap=chunk),
+        engine="pallas")
+    if dec._multi_k(groups, list(range(len(groups)))) < 2:
+        pytest.skip("default kernel tune lacks chunkflow")
+    assert dec.decode(stream, prop) == data
+    from lzma_sdk_zliblike_tpu.utils.trace import TRACE
+    assert TRACE.snapshot().get("scheduler.pallas_multi_batches", 0) > 0
+
+    bad = bytearray(stream)
+    g3 = groups[3][0]
+    bad[g3.data_off + g3.pack_size // 2] ^= 0x55
+    with pytest.raises(DataError):
+        dec.decode(bytes(bad), prop)
+
+
 @pytest.mark.slow
 def test_pallas_decoder_interpret_cpu():
     env = dict(os.environ)
