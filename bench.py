@@ -289,9 +289,16 @@ def main() -> int:
                 log(f"device compute-only: {result['tpu_compute_mbs']} MB/s")
             except Exception as e:  # noqa: BLE001
                 log(f"compute-rate probe failed: {e!r}")
-            # hybrid: host workers + device feeder on one queue
+            # hybrid: host workers + device feeder on one queue.  One
+            # untimed warmup first (same treatment as the device path):
+            # the first call pays the feeder's batch-shape jit traces and
+            # seeds the rate cache — on few-core hosts that cold run
+            # measures ~0.5x the steady state (docs/ROUND4.md)
             from lzma_sdk_zliblike_tpu.parallel.hybrid import (
                 decode_lzma2_hybrid)
+            warmh = decode_lzma2_hybrid(stream, prop, shape=shape)
+            assert warmh == data
+            del warmh
             for _ in range(reps):
                 t = time.time()
                 outh = decode_lzma2_hybrid(stream, prop, shape=shape)
