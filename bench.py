@@ -326,6 +326,9 @@ def main() -> int:
                                  pack_cap=-(-s_pack // 4096) * 4096,
                                  dic_cap=sblock)
             sb_hyb = 0.0
+            outs2 = decode_lzma2_hybrid(s_stream, prop, shape=s_shape)
+            assert outs2 == data     # untimed warmup (shape jit + rates)
+            del outs2
             for _ in range(reps):
                 t = time.time()
                 outs2 = decode_lzma2_hybrid(s_stream, prop, shape=s_shape)
@@ -379,6 +382,9 @@ def main() -> int:
                 # hybrid on the reference-default shape: must be >= host
                 # (the feeder abstains when the device cannot win a group)
                 bb_hyb = 0.0
+                outh2 = decode_lzma2_hybrid(big_stream, prop, shape=bshape)
+                assert outh2 == data   # untimed warmup (shape jit + rates)
+                del outh2
                 for _ in range(2):
                     t = time.time()
                     outh2 = decode_lzma2_hybrid(big_stream, prop,
