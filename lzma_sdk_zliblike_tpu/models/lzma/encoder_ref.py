@@ -152,15 +152,24 @@ class MatchFinder:
     """
 
     __slots__ = ("data", "n", "head", "prev", "pos", "max_chain", "nice_len",
-                 "dict_size")
+                 "dict_size", "hash_bits")
 
-    HASH_BITS = 17  # flat table, identical to the native engine
+    @staticmethod
+    def hash_bits_for(dict_size: int) -> int:
+        """Dict-adaptive table size, identical to the native engine
+        (LzFind.c sizes the hash from dictSize for the same reason:
+        an undersized table makes chains collision-dominated)."""
+        hb = 17
+        while hb < 24 and (1 << hb) < dict_size:
+            hb += 1
+        return hb
 
     def __init__(self, data: bytes, dict_size: int,
-                 max_chain: int = 48, nice_len: int = 64):
+                 max_chain: int = 16, nice_len: int = 64):
         self.data = data
         self.n = len(data)
-        self.head = [-1] * (1 << self.HASH_BITS)
+        self.hash_bits = self.hash_bits_for(dict_size)
+        self.head = [-1] * (1 << self.hash_bits)
         self.prev = [0] * self.n  # chain links
         self.pos = 0
         self.max_chain = max_chain
@@ -169,8 +178,8 @@ class MatchFinder:
 
     def _hash(self, i: int) -> int:
         d = self.data
-        return ((d[i] | (d[i + 1] << 8) | (d[i + 2] << 16)
-                 | (d[i + 3] << 24)) * 2654435761 >> 16) & ((1 << self.HASH_BITS) - 1)
+        le = d[i] | (d[i + 1] << 8) | (d[i + 2] << 16) | (d[i + 3] << 24)
+        return ((le * 2654435761) & 0xFFFFFFFF) >> (32 - self.hash_bits)
 
     def insert(self, i: int) -> None:
         if i + 4 > self.n:
@@ -211,7 +220,7 @@ class MatchFinder:
 class LzmaEncoder:
     """Stateful scalar LZMA encoder (state carried across LZMA2 chunks)."""
 
-    def __init__(self, props: S.LzmaProps, *, max_chain: int = 48,
+    def __init__(self, props: S.LzmaProps, *, max_chain: int = 16,
                  nice_len: int = 64):
         self.props = props
         self.max_chain = max_chain

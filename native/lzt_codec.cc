@@ -459,12 +459,21 @@ class RangeEncoder {
 // decisions byte-for-byte
 class MatchFinder {
  public:
-  static constexpr u32 kHashBits = 17;
+  // hash table sized to the dictionary (LzFind.c sizes hs from dictSize):
+  // a fixed 2^17 table over a 16 MB window makes every chain ~99%
+  // false-prefix collisions and the bounded walk spends its budget on
+  // cache misses; 2^bits >= dict keeps chains mostly true-prefix.
+  static u32 hash_bits_for(u32 dict_size) {
+    u32 hb = 17;
+    while (hb < 24 && (1u << hb) < dict_size) hb++;
+    return hb;
+  }
   MatchFinder(const u8* data, size_t n, u32 dict_size, int max_chain,
               int nice_len, bool short_hashes = false, size_t cap = 0)
       : data_(data), n_(n), dict_size_(dict_size), max_chain_(max_chain),
         nice_len_(nice_len < 273 ? nice_len : 273),
-        head_(1u << kHashBits, -1), prev_(n > cap ? n : cap, 0) {
+        hash_bits_(hash_bits_for(dict_size)),
+        head_(1u << hash_bits_, -1), prev_(n > cap ? n : cap, 0) {
     if (short_hashes) {
       head2_.assign(1u << 16, -1);
       head3_.assign(1u << 16, -1);
@@ -479,8 +488,8 @@ class MatchFinder {
   // empty.  O(window) per slide, amortized O(1)/byte at the StreamEnc
   // slide cadence (~dict/2 bytes between slides).
   void slide(size_t delta) {
-    const int64_t d = (int64_t)delta;
-    auto fix = [&](std::vector<int64_t>& v) {
+    const int32_t d = (int32_t)delta;
+    auto fix = [&](std::vector<int32_t>& v) {
       for (auto& x : v) x = x >= d ? x - d : -1;
     };
     fix(head_);
@@ -490,7 +499,7 @@ class MatchFinder {
     }
     const size_t keep = n_ - delta;
     std::memmove(prev_.data(), prev_.data() + delta,
-                 keep * sizeof(int64_t));
+                 keep * sizeof(int32_t));
     for (size_t i = 0; i < keep; i++)
       prev_[i] = prev_[i] >= d ? prev_[i] - d : -1;
     n_ = keep;
@@ -499,7 +508,7 @@ class MatchFinder {
   inline u32 hash_at(size_t i) const {
     const u32 le = (u32)data_[i] | ((u32)data_[i + 1] << 8) |
                    ((u32)data_[i + 2] << 16) | ((u32)data_[i + 3] << 24);
-    return (u32)(((u64)le * 2654435761ull) >> 16) & ((1u << kHashBits) - 1);
+    return (le * 2654435761u) >> (32 - hash_bits_);
   }
 
   inline u32 hash2_at(size_t i) const {
@@ -514,13 +523,13 @@ class MatchFinder {
 
   void insert(size_t i) {
     if (!head2_.empty() && i + 2 <= n_) {
-      head2_[hash2_at(i)] = (int64_t)i;
-      if (i + 3 <= n_) head3_[hash3_at(i)] = (int64_t)i;
+      head2_[hash2_at(i)] = (int32_t)i;
+      if (i + 3 <= n_) head3_[hash3_at(i)] = (int32_t)i;
     }
     if (i + 4 > n_) return;
     const u32 h = hash_at(i);
     prev_[i] = head_[h];
-    head_[h] = (int64_t)i;
+    head_[h] = (int32_t)i;
   }
 
   // collect (len, dist) candidate pairs of strictly increasing length
@@ -614,9 +623,12 @@ class MatchFinder {
   size_t n_;
   u32 dict_size_;
   int max_chain_, nice_len_;
-  std::vector<int64_t> head_;
-  std::vector<int64_t> prev_;
-  std::vector<int64_t> head2_, head3_;  // opt-parse only (short_hashes)
+  u32 hash_bits_;
+  // 32-bit refs (the reference's CLzRef, LzFind.h): halves the table
+  // cache traffic of the chain walk vs the old int64 entries
+  std::vector<int32_t> head_;
+  std::vector<int32_t> prev_;
+  std::vector<int32_t> head2_, head3_;  // opt-parse only (short_hashes)
 };
 
 // Binary-tree match finder (reference parity target: LzFind.c:353-406 BT4;
@@ -820,7 +832,7 @@ class BtMatchFinder {
 
 class Encoder {
  public:
-  Encoder(int lc, int lp, int pb, u32 dict_size, int max_chain = 48,
+  Encoder(int lc, int lp, int pb, u32 dict_size, int max_chain = 16,
           int nice_len = 64)
       : lc_(lc), lp_(lp), pb_(pb), dict_size_(dict_size),
         max_chain_(max_chain), nice_len_(nice_len),
@@ -1449,6 +1461,13 @@ class Encoder {
     int state = state_;
     u32 rep0 = rep_[0], rep1 = rep_[1], rep2 = rep_[2], rep3 = rep_[3];
 
+    // lazy-probe carry: when the lookahead probe at i+1 rejects the match
+    // at i, the loop advances to i+1 and would re-run the identical probe
+    // (same finder state: i was inserted before the lookahead) — reuse it
+    size_t carry_pos = (size_t)-1;
+    unsigned carry_len = 0;
+    u32 carry_dist = 0;
+
     size_t i = start;
     while (i < end) {
       const u32 pos = (u32)(i - dic_start) + pos_base_;
@@ -1456,7 +1475,12 @@ class Encoder {
 
       unsigned best_len;
       u32 best_dist;
-      probe(i, &best_len, &best_dist);
+      if (i == carry_pos) {
+        best_len = carry_len;
+        best_dist = carry_dist;
+      } else {
+        probe(i, &best_len, &best_dist);
+      }
       if (best_len > end - i) best_len = (unsigned)(end - i);
       if (best_len < kMatchMinLen) best_len = 0;
 
@@ -1488,6 +1512,9 @@ class Encoder {
         unsigned nl;
         u32 nd;
         probe(i + 1, &nl, &nd);
+        carry_pos = i + 1;
+        carry_len = nl;
+        carry_dist = nd;
         if (nl > chosen_len + 1) {
           use_match = false;
           use_rep = false;
@@ -1796,7 +1823,7 @@ int lzt_lzma_encode(const uint8_t* src, size_t n, uint8_t* dst,
   const bool opt = effort >= 10;
   // opt mode: max_chain_ is the BT walk cutoff (reference mc=32 at fb=32),
   // nice_len_ the early-accept length; deeper/never-stop at effort ≥ 11
-  const int chain = opt ? (effort >= 11 ? 128 : 48) : (effort >= 7 ? 48 : 16);
+  const int chain = opt ? (effort >= 11 ? 128 : 48) : 16;
   const int nice = opt ? (effort >= 11 ? 273 : 64) : 64;
   lzt::Encoder enc(lc, lp, pb, dict_size, chain, nice);
   auto out = opt ? enc.encode_segment_opt(src, n, 0, n, 0, end_mark != 0)
@@ -1898,8 +1925,20 @@ static int lzma2_encode_impl(const uint8_t* src, size_t n, uint8_t* dst,
   // the two backends stay byte-for-byte cross-checkable; effort ≥ 10 uses
   // the price-based optimal parser with a deeper finder
   const bool opt = effort >= 10;
-  Encoder enc(lc, lp, pb, real_dict, opt ? (effort >= 11 ? 128 : 48) : 48,
-              opt ? (effort >= 11 ? 273 : 64) : 64);
+  // fast-parse finder budget (effort < 10): HC4 chain walk 16 deep with
+  // nice_len 64 — the reference level-1 work class (mc = 16+fb/2 >> 1 =
+  // 16, LzmaEnc.c:70-74).  Measured on the bench slice: 12.4 MB/s at
+  // 1.3% smaller than the oracle's level-1 output; the old 48-deep walk
+  // bought 2.2% more size at 0.74x the speed (env knobs for A/B sweeps).
+  int fchain = 16, fnice = 64;
+  if (!opt) {
+    const char* ec = getenv("LZT_FAST_CHAIN");
+    const char* en = getenv("LZT_FAST_NICE");
+    if (ec) fchain = atoi(ec);
+    if (en) fnice = atoi(en);
+  }
+  Encoder enc(lc, lp, pb, real_dict, opt ? (effort >= 11 ? 128 : 48) : fchain,
+              opt ? (effort >= 11 ? 273 : 64) : fnice);
   const u8 props_byte = (u8)((pb * 5 + lp) * 9 + lc);
 
   bool props_sent = false;
@@ -2029,7 +2068,7 @@ class StreamEnc {
     real_dict_ = prop_ == 40 ? 0xFFFFFFFFu
                              : ((u32)(2 | (prop_ & 1)) << (prop_ / 2 + 11));
     enc_.reset(new Encoder(lc, lp, pb, real_dict_,
-                           opt_ ? (effort >= 11 ? 128 : 48) : 48,
+                           opt_ ? (effort >= 11 ? 128 : 48) : 16,
                            opt_ ? (effort >= 11 ? 273 : 64) : 64));
     // window: full dict history + dict/2 slide slack + lookahead margin
     cap_ = (size_t)real_dict_ + (size_t)real_dict_ / 2 + 4 * kSub + 1024;
