@@ -129,6 +129,9 @@ ST_CHUNK = 12     # per-lane chunk index (chunkflow; n_chunks = done)
 ST_DBASE = 13     # dictionary base: outpos at the lane's last dict-reset
                   # chunk (multi-group lanes decode several dict-reset
                   # groups back to back; flags bit3 rebases here)
+ST_PIM = 14       # mlit: the lane consumed next packet's is-match bit at
+                  # a literal slot and it said "match" — the next
+                  # iteration skips the is_match call and takes bm = 1
 # (measured dead end: moving limit/cmode out of the while carry into st
 # lanes to cut spill pressure REGRESSED S=64/128 by ~6-8 us/iter — the
 # per-use register gathers cost more than the spilled carries)
@@ -138,7 +141,7 @@ ST_DBASE = 13     # dictionary base: outpos at the lane's last dict-reset
 # family page layout
 # ---------------------------------------------------------------------------
 
-def _family_layout(lc: int, lp: int):
+def _family_layout(lc: int, lp: int, litrow: bool = False):
     """Assign each probability family a page range in the fams scratch.
 
     Families wider than one 128-lane page pack TWO 11-bit probabilities
@@ -147,6 +150,14 @@ def _family_layout(lc: int, lp: int):
     the cost (the high literal-tree levels).  Single-page families stay
     one-entry-per-word — measured (v10 ablation, S=128): packing them
     too added ~8 us/iter of extract/merge overhead for zero loop savings.
+
+    ``litrow``: the literal coder becomes ONE family laid out so each
+    (plane, context) owns a CONTIGUOUS 256-node slot = exactly one packed
+    page (node n of context c, plane p lives at entry
+    ``(p*nls + c)*256 + n``).  The page index is then constant across all
+    8 tree levels, so the kernel pre-selects the context's page row once
+    and every level is a register gather instead of a multi-page VMEM
+    gather loop (the measured literal-tree cost).
 
     Returns (layout dict name -> (first_page, width, n_pages, packed),
     total_pages).
@@ -168,8 +179,11 @@ def _family_layout(lc: int, lp: int):
         fams.append((f"lowmid_{k}", (2 * 2 * S.POS_STATES_MAX) << k))
     for k in range(S.LEN_HIGH_BITS):
         fams.append((f"high_{k}", 2 << k))
-    for k in range(8):
-        fams.append((f"lit_{k}", (nls * 3) << k))
+    if litrow:
+        fams.append(("lit", nls * 3 * 256))
+    else:
+        for k in range(8):
+            fams.append((f"lit_{k}", (nls * 3) << k))
     layout = {}
     page = 0
     for name, width in fams:
@@ -243,7 +257,23 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
     # via a rare gated in-body transition, instead of the global
     # round-per-chunk lockstep whose per-round max-lane tails idled
     # ~half of all iterations at the bench shape (measured round 4)
-    layout, tot_pages = _family_layout(lc, lp)
+    mlit = "mlit" in tune_set   # multi-literal iterations (v14): calls
+    # 10-27 (the match length/distance path) leave literal lanes idle, so
+    # TWO more literal decodes fuse into them exactly like lit1 fuses
+    # into calls 2-9 — is_match2 at call 10, lit2 tree at 11-18,
+    # is_match3 at 19, lit3 tree at 20-27.  A lane in a literal run
+    # advances up to 3 packets/iteration at ~the same call count; a
+    # consumed is-match bit that says "match" carries over as ST_PIM.
+    # Measured packet mix on the bench corpus (tools/pktstats.py):
+    # P(lit) = 0.83 -> mean advance 2.04 packets/iter.  The literal
+    # family layout switches to plane-high order so the (always
+    # unmatched) lit2/lit3 tree parts touch only the plane-0 pages.
+    litrow = "litrow" in tune_set   # one-page-per-context literal layout:
+    # the context's 256-node tree row is selected ONCE per literal and
+    # every level becomes a register gather + masked register update
+    # (written back to VMEM at the literal's commit point), replacing the
+    # per-level multi-page VMEM gather/store loops
+    layout, tot_pages = _family_layout(lc, lp, litrow)
     pg_init = [int(S.PROB_INIT)] * tot_pages
     for _nm, (_b, _w, _npg, _pk) in layout.items():
         if _pk:
@@ -958,8 +988,17 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                     inpos = jnp.where(need, inpos + 1, inpos)
                 return (rng, code, inpos)
 
-            def bit_multi(rc, parts):
+            def bit_multi(rc, parts, rowparts=()):
                 """ONE adaptive bit decode serving several families at once.
+
+                ``rowparts`` (litrow) are literal-tree parts whose
+                probabilities live in caller-held page-row REGISTERS:
+                each is a dict {rows: [row] or [row0,row1,row2],
+                plane: None | vec, sym: node vec, mask} — the prob read
+                is a register gather at word ``sym >> 1`` and the update
+                is a masked register merge (``rows`` mutated in place;
+                the caller writes rows back to fam_ref at the literal's
+                commit point).
 
                 ``parts`` is a list of ``(fam, idx, mask)`` with pairwise
                 disjoint masks: a lane decodes against the family whose
@@ -967,12 +1006,18 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 update arithmetic are shared across parts (that is the
                 saving — fusing lane-exclusive calls halves the per-call
                 vector overhead); only the per-family page gathers/stores
-                stay per part.
+                stay per part.  A 4th tuple element bounds the page-select
+                loop: a part whose idx provably stays below ``maxw`` entries
+                touches only the first ceil(maxw/256) packed pages (the
+                mlit plane-0 literal parts).
                 """
                 if "bits" in ablate:
                     return rc, zero
-                do = parts[0][2]
-                for _, _, mk in parts[1:]:
+                parts = [p if len(p) == 4 else (*p, None) for p in parts]
+                masks = [p[2] for p in parts] + [rp["mask"]
+                                                for rp in rowparts]
+                do = masks[0]
+                for mk in masks[1:]:
                     do = do | mk
                 rng, code, inpos = renorm(rc, do)
                 # multi-page families use the 16-bit packed layout (word
@@ -982,15 +1027,19 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                 # word directly — no extract/merge overhead.
                 p = zero
                 lns = []
-                for fam, idx, mask in parts:
+                for fam, idx, mask, maxw in parts:
                     base, width, npg, packed = layout[fam]
+                    if maxw is not None and packed:
+                        npg = min(npg, -(-maxw // (2 * PAGE)))
                     if not noclip:
                         # masked-off lanes carry garbage idx; with noclip
                         # they are bounded instead by the page-select
                         # guards and the lane clip in gat() — provably
                         # unused, so the clip is redundant (measured via
                         # the tune flag, then defaulted)
-                        idx = jnp.clip(idx, 0, width - 1)
+                        idx = jnp.clip(idx, 0,
+                                       (width if maxw is None
+                                        else min(width, maxw)) - 1)
                     if "probconst" in ablate:   # probe: gather+store share
                         p = zero + S.PROB_INIT
                         continue
@@ -1013,7 +1062,23 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                         sh = wv = None
                         pp = gat(fam_ref[base], ln)
                     lns.append((base, npg, ln, pg, sh, wv, mask, packed))
-                    p = pp if len(parts) == 1 else jnp.where(mask, pp, p)
+                    one = len(parts) == 1 and not rowparts
+                    p = pp if one else jnp.where(mask, pp, p)
+                rws = []
+                for rp in rowparts:
+                    sym_n = rp["sym"]
+                    wl_n = sym_n >> 1
+                    sh_n = (sym_n & 1) << 4
+                    rowk = rp["rows"][0]
+                    if rp["plane"] is not None:
+                        rowk = jnp.where(rp["plane"] == 1, rp["rows"][1],
+                                         jnp.where(rp["plane"] == 2,
+                                                   rp["rows"][2], rowk))
+                    wv_n = gat(rowk, wl_n)
+                    pp = (wv_n >> sh_n) & 0xFFFF
+                    rws.append((rp, wl_n, sh_n, wv_n))
+                    one = not parts and len(rowparts) == 1
+                    p = pp if one else jnp.where(rp["mask"], pp, p)
                 bound = (rng >> S.RC_BIT_MODEL_TOTAL_BITS) * p.astype(_U32)
                 bit0 = code < bound
                 newp = jnp.where(
@@ -1037,6 +1102,19 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
                         for i in range(npg):
                             fam_ref[base + i] = jnp.where(
                                 oh & (pg == i), merged, fam_ref[base + i])
+                for rp, wl_n, sh_n, wv_n in rws:
+                    if "noupdate" in ablate:
+                        break
+                    merged = ((wv_n & (((zero + 0xFFFF) << sh_n) ^ -1))
+                              | (newp << sh_n))
+                    oh = (lane_i == wl_n) & rp["mask"]
+                    if rp["plane"] is None:
+                        rp["rows"][0] = jnp.where(oh, merged, rp["rows"][0])
+                    else:
+                        for j in range(3):
+                            rp["rows"][j] = jnp.where(
+                                oh & (rp["plane"] == j), merged,
+                                rp["rows"][j])
                 rng = jnp.where(do, jnp.where(bit0, bound, rng - bound), rng)
                 code = jnp.where(do, jnp.where(bit0, code, code - bound),
                                  code)
@@ -1056,10 +1134,21 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             state = statec
             rc = (rng, code, inpos)
 
-            rc, bm = bit(rc, "is_match",
-                         (state << S.NUM_POS_BITS_MAX) + pos_state, do)
-            is_lit = do & (bm == 0)
-            is_mat = do & (bm == 1)
+            if mlit:
+                # a pending-is-match lane consumed its is_match bit at a
+                # literal slot LAST iteration (verdict: match) — skip the
+                # call, take bm = 1
+                pimb = getv(st, ST_PIM) != 0
+                rc, bm = bit(rc, "is_match",
+                             (state << S.NUM_POS_BITS_MAX) + pos_state,
+                             do & ~pimb)
+                is_lit = do & ~pimb & (bm == 0)
+                is_mat = do & (pimb | (bm == 1))
+            else:
+                rc, bm = bit(rc, "is_match",
+                             (state << S.NUM_POS_BITS_MAX) + pos_state, do)
+                is_lit = do & (bm == 0)
+                is_mat = do & (bm == 1)
 
             # literal
             prev = jnp.where(outpos > dbasec, lastbc, 0)
@@ -1088,12 +1177,39 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # high_{0,1} (also lane-exclusive).
             sym = zero + 1
             lit_on = "lit" not in ablate
+            nls = 1 << (lc + lp)
+            if litrow:
+                # context page rows pre-selected once (page index = ctx is
+                # level-invariant under the contiguous-node layout); the
+                # matched-literal walk needs all 3 planes' rows.  Rows are
+                # mutated in-register by the rowpart updates and written
+                # back at the literal's commit point.
+                pg0 = layout["lit"][0]
+                _r0 = _r1 = _r2 = zero
+                for i in range(nls):
+                    ls_eq = lit_state == i
+                    _r0 = jnp.where(ls_eq, fam_ref[pg0 + i], _r0)
+                    _r1 = jnp.where(ls_eq, fam_ref[pg0 + nls + i], _r1)
+                    _r2 = jnp.where(ls_eq, fam_ref[pg0 + 2 * nls + i], _r2)
+                l1rows = [_r0, _r1, _r2]
 
             def lit_part(k, sym, mb, matched):
                 mb = mb << 1
                 mbit = (mb >> 8) & 1
                 plane = jnp.where(matched, 1 + mbit, 0)
-                idx = (lit_state * 3 + plane) * (1 << k) + (sym - (1 << k))
+                if mlit:
+                    # plane-HIGH order: plane 0 (unmatched) occupies the
+                    # first nls<<k entries, so the always-unmatched lit2/3
+                    # tree parts bound their page loops to that region.
+                    # An internal fam-layout permutation only — the
+                    # (context, node) -> probability mapping is the
+                    # kernel's own (init is uniform), so bit-exactness vs
+                    # the reference is unaffected.
+                    idx = (plane * (nls << k) + lit_state * (1 << k)
+                           + (sym - (1 << k)))
+                else:
+                    idx = ((lit_state * 3 + plane) * (1 << k)
+                           + (sym - (1 << k)))
                 return idx, mb, mbit
 
             def lit_fold(k, b, sym, matched, mbit):
@@ -1103,7 +1219,16 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
 
             def fused(rc, k, sym, mb, matched, mfam, midx, mmask):
                 """Decode lit level k fused with one match-side call."""
-                if lit_on:
+                if lit_on and litrow:
+                    mb = mb << 1
+                    mbit = (mb >> 8) & 1
+                    plane = jnp.where(matched, 1 + mbit, 0)
+                    rc, b = bit_multi(
+                        rc, [(mfam, midx, mmask)],
+                        rowparts=[dict(rows=l1rows, plane=plane, sym=sym,
+                                       mask=is_lit)])
+                    sym, matched = lit_fold(k, b, sym, matched, mbit)
+                elif lit_on:
                     idx, mb, mbit = lit_part(k, sym, mb, matched)
                     rc, b = bit_multi(rc, [(f"lit_{k}", idx, is_lit),
                                            (mfam, midx, mmask)])
@@ -1182,25 +1307,93 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             outpos = jnp.where(is_lit, outpos + 1, outpos)
             lastbc = jnp.where(is_lit, lit_byte, lastbc)
             st = setv(st, ST_LAST, lastbc)
+            if litrow and lit_on:
+                # lit1 row writeback (before any lit2 row load of the
+                # same pages; untouched rows rewrite their loaded values)
+                for i in range(nls):
+                    wmk = (lit_state == i) & is_lit
+                    fam_ref[pg0 + i] = jnp.where(wmk, l1rows[0],
+                                                 fam_ref[pg0 + i])
+                    fam_ref[pg0 + nls + i] = jnp.where(
+                        wmk, l1rows[1], fam_ref[pg0 + nls + i])
+                    fam_ref[pg0 + 2 * nls + i] = jnp.where(
+                        wmk, l1rows[2], fam_ref[pg0 + 2 * nls + i])
             lit_next = jnp.where(state < 4, 0,
                                  jnp.where(state < 10, state - 3, state - 6))
+
+            def fnext(s):
+                """state after a literal (state_after_literal)."""
+                return jnp.where(s < 4, 0, jnp.where(s < 10, s - 3, s - 6))
+
+            if mlit:
+                # ---- literal slot 2 setup (v14 multilit) -----------------
+                # lit1 is done and its byte committed; a lane whose next
+                # packet is also a literal decodes it in the otherwise
+                # match-only calls 10-18.  Gates: stay inside the chunk
+                # (outpos < limit: the is_match bit belongs to this chunk)
+                # and inside the current 512-byte write page (the one-page-
+                # per-iteration write-window contract).  state after a
+                # literal is < 7, so lit2/3 are always UNMATCHED literals —
+                # plane 0 only, page loops bounded by nls << k.
+                state_l2 = lit_next
+                want2 = is_lit & (outpos < limit) & ((outpos & 511) != 0)
+                ps2 = (outpos - dbasec) & pb_mask
+                ls2 = (((outpos - dbasec) & lp_mask) << lc) \
+                    + (lit_byte >> (8 - lc))
+                im2 = [("is_match", (state_l2 << S.NUM_POS_BITS_MAX) + ps2,
+                        want2)]
+            else:
+                im2 = []
             mhi = zero + 1
-            for k in range(2):   # lowmid_{1,2} fused with high_{0,1}
-                rc, bk = bit_multi(rc, [
-                    (f"lowmid_{k + 1}", lowmid_idx(k + 1, mlm), lowmid),
-                    (f"high_{k}", coder * (1 << k) + (mhi - (1 << k)),
-                     high)])
-                mlm = jnp.where(lowmid, (mlm << 1) | bk, mlm)
-                mhi = jnp.where(high, (mhi << 1) | bk, mhi)
+            # call 10: lowmid_1 + high_0 [+ is_match2]
+            rc, bk = bit_multi(rc, [
+                ("lowmid_1", lowmid_idx(1, mlm), lowmid),
+                ("high_0", coder + (mhi - 1), high)] + im2)
+            mlm = jnp.where(lowmid, (mlm << 1) | bk, mlm)
+            mhi = jnp.where(high, (mhi << 1) | bk, mhi)
+            if mlit:
+                is_lit2 = want2 & (bk == 0)
+                pim2 = want2 & (bk == 1)
+                sym2 = zero + 1
+                if litrow:
+                    _q0 = zero
+                    for i in range(nls):
+                        _q0 = jnp.where(ls2 == i, fam_ref[pg0 + i], _q0)
+                    l2rows = [_q0]
+
+                    def l2part(k):
+                        return [], [dict(rows=l2rows, plane=None, sym=sym2,
+                                         mask=is_lit2)]
+                else:
+                    def l2part(k):
+                        return [(f"lit_{k}",
+                                 ls2 * (1 << k) + (sym2 - (1 << k)),
+                                 is_lit2, nls << k)], []
+            else:
+                def l2part(k):
+                    return [], []
+            # call 11: lowmid_2 + high_1 [+ lit2_0]
+            _p, _r = l2part(0)
+            rc, bk = bit_multi(rc, [
+                ("lowmid_2", lowmid_idx(2, mlm), lowmid),
+                ("high_1", coder * 2 + (mhi - 2), high)] + _p, rowparts=_r)
+            mlm = jnp.where(lowmid, (mlm << 1) | bk, mlm)
+            mhi = jnp.where(high, (mhi << 1) | bk, mhi)
+            if mlit:
+                sym2 = jnp.where(is_lit2, (sym2 << 1) | bk, sym2)
             # lookahead refill #2: covers high_2..7 + the slot tree (12)
             if labyte:
                 la_refill()
             else:
                 la_state["w"] = la_fill(rc[2])
-            for k in range(2, S.LEN_HIGH_BITS):
+            for k in range(2, S.LEN_HIGH_BITS):   # calls 12-17 [+ lit2_1-6]
                 idx = coder * (1 << k) + (mhi - (1 << k))
-                rc, bh = bit(rc, f"high_{k}", idx, high)
+                _p, _r = l2part(k - 1)
+                rc, bh = bit_multi(rc, [(f"high_{k}", idx, high)] + _p,
+                                   rowparts=_r)
                 mhi = jnp.where(high, (mhi << 1) | bh, mhi)
+                if mlit:
+                    sym2 = jnp.where(is_lit2, (sym2 << 1) | bh, sym2)
             lm_sym = jnp.where(lowmid, mlm - S.LEN_LOW_SYMBOLS, 0)
             hi_sym = jnp.where(high, mhi - S.LEN_HIGH_SYMBOLS, 0)
             state = jnp.where(is_lit, lit_next,
@@ -1217,13 +1410,77 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             st = setv(st, ST_STATE, state)
 
             # distance (simple matches): slot tree
+            # [mlit: slot_0 carries lit2_7; slot_1 carries is_match3;
+            #  slot_2..5 carry lit3 tree levels 0..3]
             lt_ps = jnp.minimum(length - S.MATCH_MIN_LEN,
                                 S.NUM_LEN_TO_POS_STATES - 1)
             m = zero + 1
-            for k in range(S.NUM_POS_SLOT_BITS):
+            # call 18: slot_0 [+ lit2_7]
+            _p, _r = l2part(7)
+            rc, bs = bit_multi(rc, [("slot_0", lt_ps + (m - 1), simple)]
+                               + _p, rowparts=_r)
+            m = jnp.where(simple, (m << 1) | bs, m)
+            if mlit:
+                sym2 = jnp.where(is_lit2, (sym2 << 1) | bs, sym2)
+                # ---- commit lit2, set up literal slot 3 ------------------
+                byte2 = sym2 & 0xFF
+                wl2 = outpos & (PAGE - 1)
+                lsh2 = ((outpos >> 7) & 3) << 3
+                wv2 = w_ref[:]
+                w_ref[:] = jnp.where(
+                    is_lit2 & (lane_i == wl2),
+                    (wv2 & (((zero + 0xFF) << lsh2) ^ -1))
+                    | (byte2 << lsh2), wv2)
+                outpos = jnp.where(is_lit2, outpos + 1, outpos)
+                lastbc = jnp.where(is_lit2, byte2, lastbc)
+                st = setv(st, ST_LAST, lastbc)
+                if litrow:
+                    for i in range(nls):
+                        wmk = (ls2 == i) & is_lit2
+                        fam_ref[pg0 + i] = jnp.where(wmk, l2rows[0],
+                                                     fam_ref[pg0 + i])
+                state_l3 = fnext(state_l2)
+                want3 = is_lit2 & (outpos < limit) & ((outpos & 511) != 0)
+                ps3 = (outpos - dbasec) & pb_mask
+                ls3 = (((outpos - dbasec) & lp_mask) << lc) \
+                    + (byte2 >> (8 - lc))
+                im3 = [("is_match",
+                        (state_l3 << S.NUM_POS_BITS_MAX) + ps3, want3)]
+            else:
+                im3 = []
+            # call 19: slot_1 [+ is_match3]
+            rc, bs = bit_multi(rc, [("slot_1", lt_ps * 2 + (m - 2),
+                                     simple)] + im3)
+            m = jnp.where(simple, (m << 1) | bs, m)
+            if mlit:
+                is_lit3 = want3 & (bs == 0)
+                pim3 = want3 & (bs == 1)
+                sym3 = zero + 1
+                if litrow:
+                    _q3 = zero
+                    for i in range(nls):
+                        _q3 = jnp.where(ls3 == i, fam_ref[pg0 + i], _q3)
+                    l3rows = [_q3]
+
+                    def l3part(k):
+                        return [], [dict(rows=l3rows, plane=None, sym=sym3,
+                                         mask=is_lit3)]
+                else:
+                    def l3part(k):
+                        return [(f"lit_{k}",
+                                 ls3 * (1 << k) + (sym3 - (1 << k)),
+                                 is_lit3, nls << k)], []
+            else:
+                def l3part(k):
+                    return [], []
+            for k in range(2, S.NUM_POS_SLOT_BITS):  # calls 20-23 [+lit3_0-3]
                 idx = lt_ps * (1 << k) + (m - (1 << k))
-                rc, bs = bit(rc, f"slot_{k}", idx, simple)
+                _p, _r = l3part(k - 2)
+                rc, bs = bit_multi(rc, [(f"slot_{k}", idx, simple)] + _p,
+                                   rowparts=_r)
                 m = jnp.where(simple, (m << 1) | bs, m)
+                if mlit:
+                    sym3 = jnp.where(is_lit3, (sym3 << 1) | bs, sym3)
             slot = jnp.where(simple, m - (1 << S.NUM_POS_SLOT_BITS), 0)
 
             big = simple & (slot >= 4)
@@ -1321,18 +1578,49 @@ def _make_kernel(n_streams: int, in_pages: int, out_pages: int,
             # offset NUM_SPEC_POS)
             m = zero + 1
             sym_r = zero
-            for i in range(5):
+            for i in range(5):   # calls 24-28 [+ lit3_4..7 on i = 0..3]
                 act_s = specs & (i < nd)
                 act_a = directs & (i < S.NUM_ALIGN_BITS)
                 act = act_s | act_a
                 idx = jnp.where(act_a, S.NUM_SPEC_POS + m, spec_base + m)
-                rc, bsp = bit(rc, "spec_align", idx, act)
+                _p, _r = l3part(i + 4) if (mlit and i < 4) else ([], [])
+                rc, bsp = bit_multi(rc, [("spec_align", idx, act)] + _p,
+                                    rowparts=_r)
                 m = jnp.where(act, (m << 1) | bsp, m)
                 sym_r = jnp.where(act, sym_r | (bsp << i), sym_r)
+                if mlit and i < 4:
+                    sym3 = jnp.where(is_lit3, (sym3 << 1) | bsp, sym3)
             dist = jnp.where(specs, dist + sym_r.astype(_U32), dist)
             dist = jnp.where(directs,
                              dist + (dval << S.NUM_ALIGN_BITS)
                              + sym_r.astype(_U32), dist)
+
+            if mlit:
+                # ---- commit lit3; fold multilit state/pim into st --------
+                byte3 = sym3 & 0xFF
+                wl3 = outpos & (PAGE - 1)
+                lsh3 = ((outpos >> 7) & 3) << 3
+                wv3 = w_ref[:]
+                w_ref[:] = jnp.where(
+                    is_lit3 & (lane_i == wl3),
+                    (wv3 & (((zero + 0xFF) << lsh3) ^ -1))
+                    | (byte3 << lsh3), wv3)
+                outpos = jnp.where(is_lit3, outpos + 1, outpos)
+                lastbc = jnp.where(is_lit3, byte3, lastbc)
+                st = setv(st, ST_LAST, lastbc)
+                if litrow:
+                    for i in range(nls):
+                        wmk = (ls3 == i) & is_lit3
+                        fam_ref[pg0 + i] = jnp.where(wmk, l3rows[0],
+                                                     fam_ref[pg0 + i])
+                state = jnp.where(is_lit2, state_l3, state)
+                state = jnp.where(is_lit3, fnext(state_l3), state)
+                st = setv(st, ST_STATE, state)
+                # pim: is_match consumed at a lit slot said "match" — the
+                # next iteration decodes it via the match path (call 1
+                # skipped).  Cleared for everyone else, including lanes
+                # whose pending match was consumed this iteration.
+                st = setv(st, ST_PIM, jnp.where(pim2 | pim3, 1, 0))
 
             marker = simple & (dist == _MASK32)
             rep3 = jnp.where(simple, rep2, rep3)
@@ -1690,9 +1978,12 @@ def _default_tune() -> str:
     return os.environ.get("LZT_TUNE", TUNE_DEFAULT)
 
 
-# measured round 4 (docs/ROUND4.md): per-lane chunk progression + the
-# staging diet; FULL real-workload decode 8.1 -> 18.5 MB/s on-chip
-TUNE_DEFAULT = "pprev,stage2,chunkflow"
+# measured round 5 (docs/ROUND5.md): multilit phase-split (up to 3
+# literals per iteration riding the match path's calls) + the
+# context-row literal layout; FULL real-workload decode on the 1 MB
+# 22-chunk probe shape 18.1 -> 30.7 MB/s on-chip (iterations 337K ->
+# 154K, 15% higher per-iteration cost)
+TUNE_DEFAULT = "pprev,stage2,chunkflow,mlit,litrow"
 
 
 @functools.partial(jax.jit,
