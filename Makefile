@@ -8,7 +8,7 @@ CFLAGS := -O2 -D_7ZIP_ST -DTRUE=1 -DFALSE=0
 CXXFLAGS := -O2 -std=c++17 -fPIC -Wall
 
 ORACLE_BINS := $(BUILD)/oracle_lzma $(BUILD)/oracle_driver $(BUILD)/oracle_7z \
-  $(BUILD)/oracle_fork
+  $(BUILD)/oracle_fork $(BUILD)/oracle_mt
 
 .PHONY: all oracle native clean test
 
@@ -52,6 +52,17 @@ $(BUILD)/oracle_fork: tools/fork_shims.c
 	gcc -O2 -c tools/fork_shims.c -o $(BUILD)/fork_obj/fork_shims.o
 	g++ -O2 -fpermissive -include wchar.h $(CFLAGS) -o $@ \
 	  $(REF)/My_Fucking_Main.cpp $(BUILD)/fork_obj/*.o 2>/dev/null
+
+# MT oracle: reference MtCoder/LzFindMt block-parallel encode running on
+# the pthread Threads shim (no -D_7ZIP_ST) — the honest multi-threaded
+# encode baseline for bench.py
+$(BUILD)/oracle_mt: tools/oracle_mt.c tools/threads_pthread.c tools/threads_pthread.h
+	@mkdir -p $(BUILD)
+	gcc -O2 -DTRUE=1 -DFALSE=0 -I$(REF) -Itools \
+	  -include tools/threads_pthread.h -o $@ tools/oracle_mt.c \
+	  tools/threads_pthread.c $(REF)/Lzma2Enc.c $(REF)/LzmaEnc.c \
+	  $(REF)/LzmaDec.c $(REF)/LzFind.c $(REF)/LzFindMt.c $(REF)/MtCoder.c \
+	  $(REF)/Alloc.c -lpthread
 
 native: $(NATIVE)/liblzt_native.so
 

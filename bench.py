@@ -145,6 +145,8 @@ def main() -> int:
               "oracle_enc_mbs": 0.0, "opt_enc_vs_oracle": 0.0,
               "enc_st_mbs": 0.0, "oracle_enc_fast_mbs": 0.0,
               "enc_fast_vs_oracle": 0.0, "enc_fast_size_ratio": 0.0,
+              "oracle_enc_mt_mbs": 0.0, "enc_mt_vs_oracle": 0.0,
+              "enc_mt_size_ratio": 0.0,
               "smallgroup_host_mbs": 0.0, "smallgroup_hybrid_mbs": 0.0,
               "bigblock_host_mbs": 0.0, "bigblock_tpu_mbs": 0.0,
               "bigblock_hybrid_mbs": 0.0,
@@ -194,7 +196,36 @@ def main() -> int:
     log(f"host MT encode: {enc_mbs:.1f} MB/s; round-trip: "
         f"{result['roundtrip_mbs']} MB/s "
         f"(our stream: {len(enc_stream)} B vs oracle {len(stream)} B)")
+    our_mt_size = len(enc_stream)
     del enc_stream
+
+    # --- oracle MT encode baseline: reference MtCoder + LzFindMt on the
+    # pthread Threads shim (build/oracle_mt), same dict/block/threads as
+    # the encode_mbs row and level 1 = the fast-parse work class
+    omt = os.path.join(REPO, "build", "oracle_mt")
+    if not os.path.exists(omt):
+        subprocess.run(["make", "-C", REPO, "build/oracle_mt"],
+                       check=True, capture_output=True)
+    mt_src = os.path.join(d, "mt.bin")
+    mt_out = os.path.join(d, "mt.l2")
+    with open(mt_src, "wb") as f:
+        f.write(data)
+    o_mt_dt = 1e18
+    for _ in range(max(1, reps - 1)):
+        t0 = time.time()
+        subprocess.run([omt, str(1 << 20), str(os.cpu_count()), "1",
+                        mt_src, mt_out, str(block)],
+                       check=True, capture_output=True)
+        o_mt_dt = min(o_mt_dt, time.time() - t0)
+    o_mt_size = os.path.getsize(mt_out) - 1
+    o_mt_mbs = len(data) / o_mt_dt / 1e6
+    result["oracle_enc_mt_mbs"] = round(o_mt_mbs, 2)
+    result["enc_mt_vs_oracle"] = round(enc_mbs / o_mt_mbs, 3)
+    result["enc_mt_size_ratio"] = round(our_mt_size / o_mt_size, 5)
+    log(f"oracle MT encode (MtCoder x{os.cpu_count()}): "
+        f"{result['oracle_enc_mt_mbs']} MB/s, {o_mt_size} B "
+        f"(ours/oracle: speed {result['enc_mt_vs_oracle']}x, "
+        f"size {result['enc_mt_size_ratio']})")
 
     # --- size parity: effort-10 optimal parse vs the oracle -------------
     from lzma_sdk_zliblike_tpu import native as lzt_native
