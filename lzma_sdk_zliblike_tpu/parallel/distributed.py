@@ -142,18 +142,38 @@ def run_local_cluster(n_processes: int, script: str, *, devices_per_proc: int = 
         env = dict(env_base)
         env.update({
             "JAX_PLATFORMS": "cpu",
-            "XLA_FLAGS": f"--xla_force_host_platform_device_count={devices_per_proc}",
+            # optimization_level=0: the interpret-mode pallas kernel is a
+            # huge XLA CPU graph; full opt passes cost minutes per shape
+            # while the compiled kernel runs tiny test inputs — compile
+            # time, not run time, is the budget here
+            "XLA_FLAGS": ("--xla_backend_optimization_level=0 "
+                          f"--xla_force_host_platform_device_count="
+                          f"{devices_per_proc}"),
             "LZT_NUM_PROCESSES": str(n_processes),
             "LZT_PROCESS_ID": str(pid),
             "LZT_COORDINATOR": "localhost:9911",
         })
+        # the cluster validates the SHARDING machinery, which is kernel-
+        # tune-agnostic; the default multilit tune's interpret-mode trace
+        # is ~2x the ops and minutes of extra XLA-CPU compile per shape.
+        # Run the light tune here — multilit correctness is pinned by the
+        # dedicated kernel tests and the on-chip selftest.
+        env.setdefault("LZT_TUNE", "pprev,stage2,chunkflow")
         procs.append(subprocess.Popen(
             [sys.executable, "-c", script],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             cwd=os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))))))
     results = []
-    for p in procs:
-        out, _ = p.communicate(timeout=timeout)
-        results.append(subprocess.CompletedProcess(p.args, p.returncode, out))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            results.append(
+                subprocess.CompletedProcess(p.args, p.returncode, out))
+    finally:
+        # a timeout must not leak CPU-bound cluster children
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.communicate()
     return results

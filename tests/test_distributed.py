@@ -20,15 +20,18 @@ D.initialize()
 import jax
 from lzma_sdk_zliblike_tpu.models.lzma2 import framing
 from tests.corpus import big_mixed
-data = big_mixed(1 << 17)
-# 64KB dict-reset groups of two ~48KB state-carry chunks each: the
-# device path must handle multi-chunk groups, not just single-chunk ones
-stream, prop = framing.encode(data, dict_size=1<<16, chunk_size=1<<16,
-                              engine="native")
+# small shapes: the interpret-mode kernel steps its while-loop on CPU,
+# so per-lane data size directly multiplies test wall-clock (the v14
+# multilit kernel traced ~1.5x more ops and pushed the old 64 KB-per-
+# lane shape past the CI budget).  parallel_groups=False yields ONE
+# 4-chunk state-carry group (multi-chunk kernel path) at 32 KB/lane.
+data = big_mixed(1 << 15)
+stream, prop = framing.encode(data, dict_size=1<<14, chunk_size=1<<13,
+                              parallel_groups=False, engine="native")
 groups = framing.split_groups(framing.scan(stream)[0])
 assert max(len(g) for g in groups) >= 2, [len(g) for g in groups]
 out = D.decode_groups_distributed(stream, dict_prop=prop, lanes_per_device=2,
-                                  pack_cap=1<<15, dic_cap=1<<16)
+                                  pack_cap=1<<14, dic_cap=1<<15)
 if jax.process_index() == 0:
     assert out == data
     print("DIST_OK", flush=True)

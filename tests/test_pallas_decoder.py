@@ -193,3 +193,38 @@ def test_pallas_decoder_interpret_cpu():
     assert r.returncode == 0, (r.stdout.decode()[-600:]
                                + r.stderr.decode()[-600:])
     assert b"PALLAS_INTERPRET_OK" in r.stdout
+
+
+@pytest.mark.slow
+def test_multilit_kernel_on_chip():
+    """Bit-exactness of the DEFAULT (multilit) tune, on real hardware.
+
+    The multilit trace is ~2x the light tune's ops; its interpret-mode
+    XLA-CPU compile runs 25+ min even at opt level 0, so CI pins the
+    light tune (conftest) and this test covers the default tune whenever
+    a TPU-class platform is reachable (the tunneled axon chip in this
+    container executes tools/mlit_check.py in under a minute).  Without
+    hardware the same check is `make test-tpu` on a chip host.
+    """
+    axon = "/root/.axon_site"
+    if not os.path.isdir(axon):
+        pytest.skip("no TPU-class platform available (no axon site hook)")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = axon + ":" + REPO
+    env.pop("JAX_PLATFORMS", None)      # let the site hook pick the chip
+    env.pop("XLA_FLAGS", None)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR",
+                   os.path.join(REPO, "build", "jax_cache"))
+    try:
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "mlit_check.py"),
+             "pprev,stage2,chunkflow,mlit,litrow"],
+            capture_output=True, cwd=REPO, timeout=900, env=env)
+    except subprocess.TimeoutExpired:
+        pytest.skip("TPU platform unreachable (mlit check timed out)")
+    if r.returncode != 0 and b"MLIT_CHECK_OK" not in r.stdout:
+        tail = (r.stdout.decode()[-400:] + r.stderr.decode()[-400:])
+        if b"axon" in r.stderr or b"RuntimeError: Unable to initialize" in r.stderr:
+            pytest.skip(f"TPU platform failed to initialize: {tail}")
+        raise AssertionError(tail)
+    assert b"MLIT_CHECK_OK" in r.stdout
