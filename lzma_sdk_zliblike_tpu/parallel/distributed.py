@@ -130,6 +130,81 @@ def decode_groups_distributed(stream: bytes, *, dict_prop: int,
     return b"".join(out_parts)  # ordered gather by group index
 
 
+def encode_groups_distributed(data: bytes, *, dict_size: int,
+                              chunk_size: int = 1 << 20,
+                              threads: int | None = None,
+                              effort: int = 9, lc: int = 3, lp: int = 0,
+                              pb: int = 2) -> tuple[bytes, int]:
+    """LZMA2 encode with dict-reset blocks sharded over all processes.
+
+    MtCoder's block parallelism (``MtCoder.c:272-327`` feeding
+    ``Lzma2Enc.c:310-361``) lifted to the multi-host cluster: every
+    process sees the same input (the broadcast), encodes the blocks
+    ``i % nproc == pid`` with its local thread pool + native coder, and
+    the compressed payloads are all-gathered IN BLOCK ORDER — the
+    deterministic analog of MtCoder's ordered write-queue.  The output
+    is byte-identical to ``host_pool.encode_lzma2_mt`` on one host
+    (same block partition, same coder), so cluster size never changes
+    the stream.  Returns ``(stream, dict_prop)`` on every process.
+    """
+    import jax
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+    from jax.experimental import multihost_utils
+
+    from .. import native
+    from ..models.lzma2.framing import encode_dict_prop
+    from .host_pool import normalize_threads
+
+    prop = encode_dict_prop(dict_size)
+    if not data:
+        return b"\x00", prop
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    n = len(data)
+    blocks = [(i, min(i + chunk_size, n)) for i in range(0, n, chunk_size)]
+    mine = list(range(pid, len(blocks), nproc))
+
+    def encode_block(bi):
+        start, end = blocks[bi]
+        stream, _p = native.lzma2_encode(
+            data[start:end], dict_size, chunk_size, True,
+            lc=lc, lp=lp, pb=pb, effort=effort)
+        return stream[:-1]  # strip the per-call EOS terminator
+
+    nt = normalize_threads(threads, max(len(mine), 1))
+    if mine:
+        with ThreadPoolExecutor(max_workers=nt) as pool:
+            parts = list(pool.map(encode_block, mine))
+    else:
+        parts = []
+
+    # ordered gather: lengths first (so every process agrees on the pad
+    # cap), then the zero-padded payload matrix; block i's bytes live in
+    # row (i % nproc) * n_slots + (i // nproc) of the gathered matrix
+    n_slots = -(-len(blocks) // nproc)
+    lens = np.zeros(len(blocks), np.int32)
+    for j, bi in enumerate(mine):
+        lens[bi] = len(parts[j])
+    if nproc > 1:
+        lens = np.asarray(
+            multihost_utils.process_allgather(lens, tiled=False)).sum(0)
+    cap = int(lens.max())
+    mat = np.zeros((n_slots, cap), np.uint8)
+    for j, part in enumerate(parts):
+        mat[j, :len(part)] = np.frombuffer(part, np.uint8)
+    if nproc > 1:
+        mat = np.asarray(
+            multihost_utils.process_allgather(mat, tiled=False)
+        ).reshape(nproc * n_slots, cap)
+    out = bytearray()
+    for bi in range(len(blocks)):
+        row = (bi % nproc) * n_slots + (bi // nproc)
+        out += mat[row, :lens[bi]].tobytes()
+    out.append(0)  # EOS
+    return bytes(out), prop
+
+
 def run_local_cluster(n_processes: int, script: str, *, devices_per_proc: int = 2,
                       timeout: int = 1200) -> list[subprocess.CompletedProcess]:
     """Launch N local processes forming a jax.distributed CPU cluster."""
