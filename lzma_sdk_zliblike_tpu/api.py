@@ -88,11 +88,14 @@ def lzma2_uncompress(stream: bytes, dict_prop: int, *,
     False to abort (decode-side ICompressProgress, Types.h:220-225).
     ``engine``: "auto"/"native"/"python" (host scalar), "tpu" (the
     batched Pallas group kernel under an HBM-budgeted shape), or
-    "hybrid" (host cores + device draining one group queue).  The device
-    engines have no per-group progress hook, so a ``progress`` callback
-    routes to the host MT path instead (abort semantics preserved).
+    "hybrid" (host cores + device draining one group queue).  The hybrid
+    engine reports per-group progress and honors abort natively (the
+    abort poisons host workers AND the device feeder,
+    ``MtCoder.c:101-107`` semantics); the pure-device engine has no
+    per-group hook, so a ``progress`` callback there routes to the host
+    MT path instead (abort semantics preserved).
     """
-    if engine in ("hybrid", "tpu") and progress is None:
+    if engine == "hybrid" or (engine == "tpu" and progress is None):
         from .models.lzma2 import framing
         from .utils.memory import shape_for_groups
         framing.decode_dict_prop(dict_prop)  # validate
@@ -109,7 +112,7 @@ def lzma2_uncompress(stream: bytes, dict_prop: int, *,
         if engine == "hybrid":
             from .parallel.hybrid import decode_lzma2_hybrid
             return decode_lzma2_hybrid(stream, dict_prop, shape=shape,
-                                       threads=threads)
+                                       threads=threads, progress=progress)
         from .parallel.scheduler import BatchedLzma2Decoder
         dec = BatchedLzma2Decoder(shape, engine="pallas")
         return b"".join(dec.decode_groups(stream, groups))

@@ -66,8 +66,18 @@ _RATE_WINDOW_S = 2.0  # seed weight: pretend we saw ~2s of device work
 def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
                         shape: BatchShape | None = None,
                         threads: int | None = None,
-                        device: bool = True) -> bytes:
-    """Decode an LZMA2 stream on host threads + the device concurrently."""
+                        device: bool = True,
+                        progress=None) -> bytes:
+    """Decode an LZMA2 stream on host threads + the device concurrently.
+
+    ``progress(in_bytes, out_bytes)`` is invoked at each group completion
+    (``ICompressProgress``, ``Types.h:220-225``); returning ``False``
+    aborts: the abort poisons every engine the way ``MtCoder_SetError``
+    does (``MtCoder.c:101-107``) — host workers stop at their next group
+    boundary, the feeder submits no further batches and discards its
+    in-flight ones without touching the device handle, and the call
+    raises ``ProgressAborted``.
+    """
     framing.decode_dict_prop(dict_prop)  # validate
     chunks, _ = framing.scan(stream)
     groups = framing.split_groups(chunks)
@@ -104,6 +114,10 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
          rates["dev_proc"]) = cached
     warmed_shapes: set[int] = set()
 
+    gin = [sum(c.pack_size for c in g) for g in groups]
+    prog = {"in": 0, "out": 0}
+    prog_lock = threading.Lock()
+
     def claim(gi: int, data: bytes, who: str) -> None:
         """First-result-wins slot write + rate accounting."""
         with lock:
@@ -112,6 +126,17 @@ def decode_lzma2_hybrid(stream: bytes, dict_prop: int, *,
             done[gi] = True
             results[gi] = data
             rates[who] += gsize[gi]
+        if progress is not None:
+            # the user callback runs OUTSIDE the scheduler lock (it may
+            # be arbitrarily slow) and serialized under its own lock;
+            # False poisons all engines via the shared error list
+            with prog_lock:
+                prog["in"] += gin[gi]
+                prog["out"] += gsize[gi]
+                if not errors and progress(prog["in"],
+                                           prog["out"]) is False:
+                    from ..utils.errors import ProgressAborted
+                    errors.append(ProgressAborted())
 
     def pop_host() -> int | None:
         with lock:

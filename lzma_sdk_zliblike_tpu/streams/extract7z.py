@@ -44,8 +44,17 @@ def _folder_entries(ar: SZ.Archive, fi: int):
 
 
 def extract_streaming(path: str, out_dir: str, *, verify: bool = True,
-                      temp_dir: str | None = None) -> list[str]:
+                      temp_dir: str | None = None,
+                      progress=None) -> list[str]:
     """Extract every file of a .7z archive with bounded memory.
+
+    ``progress(in_bytes, out_bytes)`` is called at every routed output
+    write with cumulative totals (``ICompressProgress``,
+    ``Types.h:220-225``; in_bytes = packed bytes of fully processed
+    folders); returning ``False`` aborts the extraction mid-folder with
+    ``ProgressAborted`` — partially written member files are left on
+    disk, as the reference's aborted ``SzArEx_Extract`` leaves its
+    output buffer.
 
     Returns the list of extracted file names (including empty files/dirs).
     """
@@ -54,14 +63,26 @@ def extract_streaming(path: str, out_dir: str, *, verify: bool = True,
         mm = mmap.mmap(fh.fileno(), 0, access=mmap.ACCESS_READ)
         try:
             ar = SZ.parse(mm)
+            tally = {"in": 0, "out": 0}
             for fi in range(len(ar.folders)):
                 ents = _folder_entries(ar, fi)
                 if not ents:
                     continue
                 router = FileRouter(ents, out_dir, verify=verify)
+                if progress is not None:
+                    inner_write = router.write
+
+                    def write(data, _w=inner_write):
+                        _w(data)
+                        tally["out"] += len(data)
+                        if progress(tally["in"], tally["out"]) is False:
+                            from ..utils.errors import ProgressAborted
+                            raise ProgressAborted()
+                    router.write = write
                 _decode_folder_streaming(mm, ar, fi, router, verify,
                                          temp_dir)
                 router.close()
+                tally["in"] += sum(s for _o, s in _pack_slices(ar, fi))
                 names += [e[0] for e in ents]
             # file times from the archive's MTime vector (the reference
             # sets them on extract, 7zMain.c:438-475)

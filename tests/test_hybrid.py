@@ -68,3 +68,50 @@ print("HYBRID_DEVICE_OK", flush=True)
     r = subprocess.run([sys.executable, "-c", code], env=env,
                        capture_output=True, text=True, timeout=900)
     assert "HYBRID_DEVICE_OK" in r.stdout, r.stderr[-2000:]
+
+
+def test_hybrid_progress_reported_in_order():
+    data, stream, prop = _mk_stream(n_groups=8)
+    seen = []
+    out = decode_lzma2_hybrid(stream, prop, device=False,
+                              progress=lambda i, o: seen.append((i, o)))
+    assert out == data
+    assert len(seen) == 8
+    # monotone in both coordinates; final totals match the stream/output
+    assert all(a < b for a, b in zip(seen, seen[1:]))
+    assert seen[-1][1] == len(data)
+
+
+def test_hybrid_abort_poisons_all_engines():
+    """ICompressProgress abort (Types.h:220-225): returning False from
+    the callback mid-decode unwinds promptly with ProgressAborted —
+    host workers stop at their next group boundary and the feeder
+    abandons in-flight device work (MtCoder_SetError poisoning,
+    MtCoder.c:101-107)."""
+    import time
+    from lzma_sdk_zliblike_tpu.utils.errors import ProgressAborted
+    data, stream, prop = _mk_stream(n_groups=32, group=4096)
+    calls = []
+
+    def cancel_after_3(i, o):
+        calls.append((i, o))
+        return len(calls) < 3
+
+    t0 = time.monotonic()
+    with pytest.raises(ProgressAborted):
+        decode_lzma2_hybrid(stream, prop, device=False, threads=2,
+                            progress=cancel_after_3)
+    assert time.monotonic() - t0 < 30
+    # poisoned promptly: workers stop at the next boundary, so at most
+    # one straggler claim per worker thread lands after the abort
+    assert len(calls) <= 3 + 2
+
+
+def test_api_hybrid_progress_routes_to_hybrid_engine(monkeypatch):
+    import lzma_sdk_zliblike_tpu as lzt
+    monkeypatch.setenv("LZT_PALLAS_INTERPRET", "1")
+    data, stream, prop = _mk_stream(n_groups=4)
+    seen = []
+    out = lzt.lzma2_uncompress(stream, prop, engine="hybrid",
+                               progress=lambda i, o: seen.append(o))
+    assert out == data and seen and seen[-1] == len(data)

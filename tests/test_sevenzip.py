@@ -137,3 +137,22 @@ def test_mtime_roundtrip_and_apply(tmp_path, files):
     extract7z.extract_streaming(str(p), str(out))
     st = os.stat(out / "docs/readme.txt")
     assert abs(st.st_mtime - 1_600_000_000) < 2
+
+
+def test_streaming_extract_progress_and_abort(files, tmp_path):
+    from lzma_sdk_zliblike_tpu.utils.errors import ProgressAborted
+    img = SZ.write(files, dict_size=1 << 16)
+    p = tmp_path / "t.7z"
+    p.write_bytes(img)
+    out = tmp_path / "out"
+    seen = []
+    extract7z.extract_streaming(str(p), str(out),
+                                progress=lambda i, o: seen.append((i, o)))
+    total = sum(len(b) for b in files.values())
+    assert seen and seen[-1][1] == total
+    assert all(a[1] <= b[1] for a, b in zip(seen, seen[1:]))
+    # abort on the first callback: prompt ProgressAborted unwind
+    out2 = tmp_path / "out2"
+    with pytest.raises(ProgressAborted):
+        extract7z.extract_streaming(str(p), str(out2),
+                                    progress=lambda i, o: False)
