@@ -1850,7 +1850,13 @@ int lzt_lzma2_group_ops(const uint8_t* src, size_t n, uint32_t dict_size,
   if (lc < 0 || lc > 8 || lp < 0 || lp > 4 || pb < 0 || pb > 4)
     return ERR_PARAM;
   const size_t sub = sub_size ? sub_size : (48u << 10);
-  Encoder enc(lc, lp, pb, dict_size, 48, 64);
+  // finder budget MUST match lzma2_encode_impl's fast path (chain 16 /
+  // nice 64 + the same env knobs): the device range coder replays these
+  // ops and its stream is asserted byte-identical to the host MT encoder
+  int fchain = 16, fnice = 64;
+  if (const char* ec = getenv("LZT_FAST_CHAIN")) fchain = atoi(ec);
+  if (const char* en = getenv("LZT_FAST_NICE")) fnice = atoi(en);
+  Encoder enc(lc, lp, pb, dict_size, fchain, fnice);
   enc.reset_state();
   std::vector<u32> all_ops;
   std::vector<u8> all_body;
