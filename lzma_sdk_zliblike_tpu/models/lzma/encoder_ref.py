@@ -293,24 +293,51 @@ class LzmaEncoder:
             best_rep_idx = max(range(4), key=lambda k: rep_len[k])
             best_rep_len = rep_len[best_rep_idx]
 
-            # --- lazy: if next position has a strictly better match, emit literal
+            # --- GetOptimumFast-parity decisions (LzmaEnc.c:1489-1595
+            # semantics, kept byte-identical to the native engine):
             use_match = best_len >= S.MATCH_MIN_LEN and best_len >= 2
-            use_rep = best_rep_len >= 2
             # normal match of len 2 only worthwhile if dist small
             if use_match and best_len == 2 and best_dist > 512:
                 use_match = False
-            if use_rep and use_match and best_rep_len + 1 >= best_len:
-                use_match = False  # prefer rep (cheaper to code)
-            chosen_len = best_rep_len if (use_rep and not use_match) else best_len
-            if (use_match or (use_rep and not use_match)) and i + 1 < end and chosen_len < self.nice_len:
+            # rep preference: within 1 of the main match always wins;
+            # within 2 against distances >= 2^9; within 3 against
+            # >= 2^15.  A chosen rep is taken WITHOUT lookahead.
+            use_rep = best_rep_len >= 2 and (
+                not use_match or best_rep_len + 1 >= best_len
+                or (best_rep_len + 2 >= best_len and best_dist >= 1 << 9)
+                or (best_rep_len + 3 >= best_len and best_dist >= 1 << 15))
+            if use_rep:
+                use_match = False
+            mf_inserted = False
+            if use_match and i + 1 < end and best_len < self.nice_len:
                 mf.insert(i)
-                nl, nd = mf.best_match(i + 1)
                 mf_inserted = True
-                if nl > chosen_len + 1:
+                nl, nd = mf.best_match(i + 1)
+
+                def change_pair(s, b):
+                    # "bigger distance only if 128x closer" lazy rule
+                    return (b >> 7) > s
+
+                if ((nl >= best_len and nd < best_dist)
+                        or (nl == best_len + 1
+                            and not change_pair(best_dist, nd))
+                        or (nl > best_len + 1)
+                        or (nl + 1 >= best_len and best_len >= 3
+                            and change_pair(nd, best_dist))):
                     use_match = False
-                    use_rep = False
-            else:
-                mf_inserted = False
+                else:
+                    # a rep at i+1 within 1 of the match defers to literal
+                    lim = min(best_len - 1, end - (i + 1))
+                    for r in (rep0, rep1, rep2, rep3):
+                        src = i + 1 - r - 1
+                        if src < dic_start:
+                            continue
+                        l2 = 0
+                        while l2 < lim and data[src + l2] == data[i + 1 + l2]:
+                            l2 += 1
+                        if l2 >= 2 and l2 + 1 >= best_len:
+                            use_match = False
+                            break
 
             if use_match or use_rep:
                 is_rep = use_rep and not use_match

@@ -1498,15 +1498,21 @@ class Encoder {
       const unsigned best_rep_len = rep_len[best_ri];
 
       bool use_match = best_len >= kMatchMinLen;
-      bool use_rep = best_rep_len >= 2;
       if (use_match && best_len == 2 && best_dist > 512) use_match = false;
-      if (use_rep && use_match && best_rep_len + 1 >= best_len)
-        use_match = false;
-      const unsigned chosen_len = (use_rep && !use_match) ? best_rep_len
-                                                          : best_len;
+      // rep preference (GetOptimumFast parity, LzmaEnc.c:1489-1595
+      // semantics): a rep within 1 of the main match always wins; within
+      // 2 it wins against match distances >= 2^9; within 3 against
+      // >= 2^15.  A chosen rep is taken WITHOUT lookahead (the reference
+      // returns immediately on this branch).
+      bool use_rep =
+          best_rep_len >= 2 &&
+          (!use_match || best_rep_len + 1 >= best_len ||
+           (best_rep_len + 2 >= best_len && best_dist >= (1u << 9)) ||
+           (best_rep_len + 3 >= best_len && best_dist >= (1u << 15)));
+      if (use_rep) use_match = false;
+      const unsigned chosen_len = use_rep ? best_rep_len : best_len;
       bool mf_inserted = false;
-      if ((use_match || (use_rep && !use_match)) && i + 1 < end &&
-          chosen_len < (unsigned)nice_len_) {
+      if (use_match && i + 1 < end && best_len < (unsigned)nice_len_) {
         mf_ins(i);
         mf_inserted = true;
         unsigned nl;
@@ -1515,9 +1521,31 @@ class Encoder {
         carry_pos = i + 1;
         carry_len = nl;
         carry_dist = nd;
-        if (nl > chosen_len + 1) {
+        // ChangePair(s, b) := b > s * 128 — "the bigger distance is not
+        // worth it unless 128x closer" rule of the reference's lazy
+        // probe; the four defer-to-literal conditions mirror
+        // GetOptimumFast's newLen/newDist tests verbatim-in-semantics
+        const auto change_pair = [](u32 s, u32 b) {
+          return (b >> 7) > s;
+        };
+        if ((nl >= best_len && nd < best_dist) ||
+            (nl == best_len + 1 && !change_pair(best_dist, nd)) ||
+            (nl > best_len + 1) ||
+            (nl + 1 >= best_len && best_len >= 3 &&
+             change_pair(nd, best_dist))) {
           use_match = false;
-          use_rep = false;
+        } else {
+          // a rep at i+1 within 1 of the match also defers to literal
+          const unsigned lim =
+              best_len - 1 < (unsigned)(end - (i + 1))
+                  ? best_len - 1 : (unsigned)(end - (i + 1));
+          for (int ri = 0; ri < 4 && use_match; ri++) {
+            const int64_t from = (int64_t)(i + 1) - reps[ri] - 1;
+            if (from < (int64_t)dic_start) continue;
+            const unsigned l2 =
+                (unsigned)match_len(data + from, data + i + 1, lim);
+            if (l2 >= 2 && l2 + 1 >= best_len) use_match = false;
+          }
         }
       }
 
