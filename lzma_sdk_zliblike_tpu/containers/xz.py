@@ -401,6 +401,11 @@ def read_backward(data: bytes) -> list[XzStreamInfo]:
         ipos = end - 12 - index_size
         if ipos < 0 or data[ipos] != 0:
             raise ArchiveError("bad xz index position")
+        # index CRC (last 4 bytes of the index record) — Xz_ReadIndex
+        # validates it before trusting any block size (XzIn.c:141-224)
+        if crc32(data[ipos:end - 16]) != int.from_bytes(
+                data[end - 16:end - 12], "little"):
+            raise CrcError("index CRC")
         p = ipos + 1
         cnt, p = _read_varint(data, p)
         blocks = []
