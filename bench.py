@@ -147,6 +147,7 @@ def main() -> int:
               "enc_fast_vs_oracle": 0.0, "enc_fast_size_ratio": 0.0,
               "oracle_enc_mt_mbs": 0.0, "enc_mt_vs_oracle": 0.0,
               "enc_mt_size_ratio": 0.0,
+              "real_fast_size_ratio": 0.0, "real_opt_size_ratio": 0.0,
               "smallgroup_host_mbs": 0.0, "smallgroup_hybrid_mbs": 0.0,
               "bigblock_host_mbs": 0.0, "bigblock_tpu_mbs": 0.0,
               "bigblock_hybrid_mbs": 0.0,
@@ -275,6 +276,34 @@ def main() -> int:
         f"{result['enc_fast_vs_oracle']}, size ratio "
         f"{result['enc_fast_size_ratio']})")
     del fast_stream
+
+    # --- real-data size ratios (tests/fixtures/realdata.bin: x86-64 ELF
+    # code + source text + prose — what the synthetic corpus can't show)
+    rd_path = os.path.join(REPO, "tests", "fixtures", "realdata.bin")
+    if os.path.exists(rd_path):
+        rd = open(rd_path, "rb").read()
+        r_src = os.path.join(d, "rd.bin")
+        r_enc = os.path.join(d, "rd.l2")
+        with open(r_src, "wb") as f:
+            f.write(rd)
+        subprocess.run([oracle, "lzma2e", str(1 << 20), r_src, r_enc, "1"],
+                       check=True, capture_output=True)
+        o_rf = os.path.getsize(r_enc) - 1
+        subprocess.run([oracle, "lzma2e", str(1 << 20), r_src, r_enc],
+                       check=True, capture_output=True)
+        o_ro = os.path.getsize(r_enc) - 1
+        rf, _ = lzt_native.lzma2_encode(rd, dict_size=1 << 20,
+                                        chunk_size=1 << 20, parallel=0,
+                                        effort=9)
+        ro, _ = lzt_native.lzma2_encode(rd, dict_size=1 << 20,
+                                        chunk_size=1 << 20, parallel=0,
+                                        effort=10)
+        result["real_fast_size_ratio"] = round(len(rf) / o_rf, 5)
+        result["real_opt_size_ratio"] = round(len(ro) / o_ro, 5)
+        log(f"real data ({len(rd)} B): fast size ratio "
+            f"{result['real_fast_size_ratio']}, opt size ratio "
+            f"{result['real_opt_size_ratio']}")
+        del rf, ro
 
     # device + hybrid under a watchdog (remote compiles can queue)
     def on_timeout(_sig, _frm):

@@ -1843,6 +1843,12 @@ int lzt_lzma_decode(const uint8_t* src, size_t src_len, uint8_t* dst,
   return lzt::OK;
 }
 
+// effort-10 BT walk cutoff (A/B knob; reference level-9 mc = 32)
+static int opt_chain() {
+  const char* e = getenv("LZT_OPT_CHAIN");
+  return e ? atoi(e) : 48;
+}
+
 int lzt_lzma_encode(const uint8_t* src, size_t n, uint8_t* dst,
                     size_t* dst_len, int lc, int lp, int pb,
                     uint32_t dict_size, int end_mark, int effort) {
@@ -1851,7 +1857,7 @@ int lzt_lzma_encode(const uint8_t* src, size_t n, uint8_t* dst,
   const bool opt = effort >= 10;
   // opt mode: max_chain_ is the BT walk cutoff (reference mc=32 at fb=32),
   // nice_len_ the early-accept length; deeper/never-stop at effort ≥ 11
-  const int chain = opt ? (effort >= 11 ? 128 : 48) : 16;
+  const int chain = opt ? (effort >= 11 ? 128 : opt_chain()) : 16;
   const int nice = opt ? (effort >= 11 ? 273 : 64) : 64;
   lzt::Encoder enc(lc, lp, pb, dict_size, chain, nice);
   auto out = opt ? enc.encode_segment_opt(src, n, 0, n, 0, end_mark != 0)
@@ -1971,7 +1977,7 @@ static int lzma2_encode_impl(const uint8_t* src, size_t n, uint8_t* dst,
     if (ec) fchain = atoi(ec);
     if (en) fnice = atoi(en);
   }
-  Encoder enc(lc, lp, pb, real_dict, opt ? (effort >= 11 ? 128 : 48) : fchain,
+  Encoder enc(lc, lp, pb, real_dict, opt ? (effort >= 11 ? 128 : opt_chain()) : fchain,
               opt ? (effort >= 11 ? 273 : 64) : fnice);
   const u8 props_byte = (u8)((pb * 5 + lp) * 9 + lc);
 
@@ -2102,7 +2108,7 @@ class StreamEnc {
     real_dict_ = prop_ == 40 ? 0xFFFFFFFFu
                              : ((u32)(2 | (prop_ & 1)) << (prop_ / 2 + 11));
     enc_.reset(new Encoder(lc, lp, pb, real_dict_,
-                           opt_ ? (effort >= 11 ? 128 : 48) : 16,
+                           opt_ ? (effort >= 11 ? 128 : opt_chain()) : 16,
                            opt_ ? (effort >= 11 ? 273 : 64) : 64));
     // window: full dict history + dict/2 slide slack + lookahead margin
     cap_ = (size_t)real_dict_ + (size_t)real_dict_ / 2 + 4 * kSub + 1024;
