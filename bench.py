@@ -238,22 +238,32 @@ def main() -> int:
     # oracle ST encode baselines on the same slice: level 9 (BT4 optimal
     # parse — the mode our effort-10 matches on size) and level 1 (HC4
     # fast parse — the mode our effort-9 fast path matches)
-    t0 = time.time()
-    subprocess.run([oracle, "lzma2e", str(1 << 24), s_src, s_enc],
-                   check=True, capture_output=True)
-    o_opt_dt = time.time() - t0
+    # min-of-2 on every ST encode row (ours AND oracle's): single runs
+    # showed ±15% wall variance on this host, enough to swing the
+    # vs-oracle ratios either way
+    o_opt_dt = 1e18
+    for _ in range(2):
+        t0 = time.time()
+        subprocess.run([oracle, "lzma2e", str(1 << 24), s_src, s_enc],
+                       check=True, capture_output=True)
+        o_opt_dt = min(o_opt_dt, time.time() - t0)
     o_size = os.path.getsize(s_enc) - 1
     result["oracle_enc_mbs"] = round(len(sl) / o_opt_dt / 1e6, 2)
-    t0 = time.time()
-    subprocess.run([oracle, "lzma2e", str(1 << 24), s_src, s_enc, "1"],
-                   check=True, capture_output=True)
-    o_fast_dt = time.time() - t0
+    o_fast_dt = 1e18
+    for _ in range(2):
+        t0 = time.time()
+        subprocess.run([oracle, "lzma2e", str(1 << 24), s_src, s_enc, "1"],
+                       check=True, capture_output=True)
+        o_fast_dt = min(o_fast_dt, time.time() - t0)
     o_fast_size = os.path.getsize(s_enc) - 1
     result["oracle_enc_fast_mbs"] = round(len(sl) / o_fast_dt / 1e6, 2)
-    t0 = time.time()
-    opt_stream, _ = lzt_native.lzma2_encode(
-        sl, dict_size=1 << 24, chunk_size=1 << 21, parallel=0, effort=10)
-    opt_dt = time.time() - t0
+    opt_dt = 1e18
+    for _ in range(2):
+        t0 = time.time()
+        opt_stream, _ = lzt_native.lzma2_encode(
+            sl, dict_size=1 << 24, chunk_size=1 << 21, parallel=0,
+            effort=10)
+        opt_dt = min(opt_dt, time.time() - t0)
     result["opt_size_ratio"] = round(len(opt_stream) / o_size, 5)
     result["opt_encode_mbs"] = round(len(sl) / opt_dt / 1e6, 2)
     result["opt_enc_vs_oracle"] = round(o_opt_dt / opt_dt, 3)
@@ -264,10 +274,13 @@ def main() -> int:
         f"{result['opt_enc_vs_oracle']})")
     del opt_stream
     # our ST fast parse vs oracle level-1 fast parse, same slice
-    t0 = time.time()
-    fast_stream, _ = lzt_native.lzma2_encode(
-        sl, dict_size=1 << 24, chunk_size=1 << 21, parallel=0, effort=9)
-    fast_dt = time.time() - t0
+    fast_dt = 1e18
+    for _ in range(2):
+        t0 = time.time()
+        fast_stream, _ = lzt_native.lzma2_encode(
+            sl, dict_size=1 << 24, chunk_size=1 << 21, parallel=0,
+            effort=9)
+        fast_dt = min(fast_dt, time.time() - t0)
     result["enc_st_mbs"] = round(len(sl) / fast_dt / 1e6, 2)
     result["enc_fast_vs_oracle"] = round(o_fast_dt / fast_dt, 3)
     result["enc_fast_size_ratio"] = round(len(fast_stream) / o_fast_size, 5)
