@@ -575,6 +575,11 @@ class MatchFinder {
     int64_t cand = head_[hash_at(i)];
     int chain = max_chain_;
     while (cand >= 0 && chain > 0 && cand >= min_pos && cnt < 32) {
+      // hoist the next-link load and warm the step-after-next while the
+      // byte compare below runs (the chain walk is a serial miss chain)
+      const int64_t nxt = prev_[cand];
+      __builtin_prefetch(&prev_[nxt]);
+      __builtin_prefetch(data_ + nxt + bl);
       if (i + bl < n_ && data_[cand + bl] == data_[i + bl]) {
         const size_t ln = match_len(data_ + cand, data_ + i, limit);
         if (ln > bl) {
@@ -585,7 +590,7 @@ class MatchFinder {
           if (bl >= (unsigned)nice_len_) break;
         }
       }
-      cand = prev_[cand];
+      cand = nxt;
       chain--;
     }
     return cnt;
@@ -603,6 +608,9 @@ class MatchFinder {
     unsigned bl = 0;
     u32 bd = 0;
     while (cand >= 0 && chain > 0 && cand >= min_pos) {
+      const int64_t nxt = prev_[cand];       // same look-ahead pattern
+      __builtin_prefetch(&prev_[nxt]);       // as candidates()
+      __builtin_prefetch(data_ + nxt + bl);
       if (i + bl < n_ && data_[cand + bl] == data_[i + bl]) {
         const size_t ln = match_len(data_ + cand, data_ + i, limit);
         if (ln > bl) {
@@ -611,7 +619,7 @@ class MatchFinder {
           if (bl >= (unsigned)nice_len_) break;
         }
       }
-      cand = prev_[cand];
+      cand = nxt;
       chain--;
     }
     *best_len = bl;
@@ -735,6 +743,8 @@ class BtMatchFinder {
     const u32 hh = h4(p);
     u32 cur = head_[hh];
     head_[hh] = (u32)p;
+    __builtin_prefetch(&son_[2 * (size_t)cur]);
+    __builtin_prefetch(data_ + cur);
     u32* ptr0 = &son_[2 * p + 1];  // subtree of suffixes > ours
     u32* ptr1 = &son_[2 * p];      // subtree of suffixes < ours
     size_t len0 = 0, len1 = 0;
@@ -746,6 +756,18 @@ class BtMatchFinder {
       }
       u32* pair = &son_[2 * (size_t)cur];
       size_t len = len0 < len1 ? len0 : len1;
+      // the walk's stalls are the serial node->node cache-miss chain:
+      // once this node's pair is loaded, BOTH possible next nodes are
+      // known, so warm their son_ entries and comparison bytes while
+      // match_len below gives the loads time to land (gprof r4: 48% of
+      // opt-parse time was these misses)
+      {
+        const u32 c0 = pair[0], c1 = pair[1];
+        __builtin_prefetch(&son_[2 * (size_t)c0]);
+        __builtin_prefetch(&son_[2 * (size_t)c1]);
+        __builtin_prefetch(data_ + c0 + len);
+        __builtin_prefetch(data_ + c1 + len);
+      }
       len += match_len(data_ + cur + len, data_ + p + len, lim - len);
       if (len > bl && cnt < 64) {
         bl = (unsigned)len;
@@ -790,6 +812,8 @@ class BtMatchFinder {
     const u32 hh = h4(p);
     u32 cur = head_[hh];
     head_[hh] = (u32)p;
+    __builtin_prefetch(&son_[2 * (size_t)cur]);
+    __builtin_prefetch(data_ + cur);
     u32* ptr0 = &son_[2 * p + 1];
     u32* ptr1 = &son_[2 * p];
     size_t len0 = 0, len1 = 0;
@@ -801,6 +825,13 @@ class BtMatchFinder {
       }
       u32* pair = &son_[2 * (size_t)cur];
       size_t len = len0 < len1 ? len0 : len1;
+      {
+        const u32 c0 = pair[0], c1 = pair[1];  // same speculative
+        __builtin_prefetch(&son_[2 * (size_t)c0]);  // warm-both-children
+        __builtin_prefetch(&son_[2 * (size_t)c1]);  // pattern as
+        __builtin_prefetch(data_ + c0 + len);       // get_matches
+        __builtin_prefetch(data_ + c1 + len);
+      }
       len += match_len(data_ + cur + len, data_ + p + len, lim - len);
       if (len == lim) {
         *ptr1 = pair[0];
