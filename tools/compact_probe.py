@@ -198,12 +198,12 @@ def run(name, iters):
                                        else (streams, 128), jnp.int32),
     )
     f = jax.jit(call)
-    # Timing protocol, learned the hard way on the axon backend: (a) a
-    # DIFFERENT seed every rep — repeat executions with identical inputs
-    # return in flat time (served from an execution cache); (b) the
+    # Timing protocol, learned the hard way on the axon backend: the
     # result must be PULLED (np.asarray) inside the timed region —
-    # block_until_ready alone was observed returning without the
-    # execution having happened.  The 512 B D2H is noise at these walls.
+    # block_until_ready alone was observed returning in flat ~50 us for
+    # arbitrarily long kernels.  Fresh per-rep seeds are belt-and-braces
+    # (identical-input reps measured real once pulled, but cost nothing
+    # to vary).  The 512 B D2H is noise at these walls.
     base = int(time.time()) % 1000000
     seed = jnp.full((1, 128), base, jnp.int32)
     t0 = time.time()
