@@ -706,6 +706,13 @@ class BtMatchFinder {
   int get_matches(size_t p, unsigned* lens, u32* dists) {
     int cnt = 0;
     if (p + 2 > n_) return 0;
+    if (p + 5 <= n_) {
+      // the very first misses of the NEXT call are its three head
+      // lookups — their addresses are computable now from warm bytes
+      __builtin_prefetch(&head_[h4(p + 1)], 1);
+      __builtin_prefetch(&head3_[h3(p + 1)], 1);
+      __builtin_prefetch(&head2_[h2(p + 1)], 1);
+    }
     const size_t lim = (n_ - p) < 273 ? (n_ - p) : 273;
     const u64 min_pos1 = (u64)p >= dict_size_ ? p - dict_size_ + 1 : 0;
     unsigned bl = 1;
@@ -804,6 +811,11 @@ class BtMatchFinder {
   // Insert without collecting matches (tree health on skipped positions).
   void skip(size_t p) {
     if (p + 2 > n_) return;
+    if (p + 5 <= n_) {
+      __builtin_prefetch(&head_[h4(p + 1)], 1);   // as in get_matches
+      __builtin_prefetch(&head3_[h3(p + 1)], 1);
+      __builtin_prefetch(&head2_[h2(p + 1)], 1);
+    }
     head2_[h2(p)] = (u32)p;
     if (p + 3 <= n_) head3_[h3(p)] = (u32)p;
     if (p + 4 > n_) return;
