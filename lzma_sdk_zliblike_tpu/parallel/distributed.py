@@ -208,6 +208,13 @@ def encode_groups_distributed(data: bytes, *, dict_size: int,
 def run_local_cluster(n_processes: int, script: str, *, devices_per_proc: int = 2,
                       timeout: int = 1200) -> list[subprocess.CompletedProcess]:
     """Launch N local processes forming a jax.distributed CPU cluster."""
+    # Fresh ephemeral coordinator port per launch: a fixed port is flaky
+    # when a previous cluster's listener lingers (TIME_WAIT or a stale
+    # process from an aborted run).
+    import socket
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        coord_port = s.getsockname()[1]
     procs = []
     env_base = dict(os.environ)
     env_base["PYTHONPATH"] = ":".join(
@@ -226,7 +233,7 @@ def run_local_cluster(n_processes: int, script: str, *, devices_per_proc: int = 
                           f"{devices_per_proc}"),
             "LZT_NUM_PROCESSES": str(n_processes),
             "LZT_PROCESS_ID": str(pid),
-            "LZT_COORDINATOR": "localhost:9911",
+            "LZT_COORDINATOR": f"localhost:{coord_port}",
         })
         # the cluster validates the SHARDING machinery, which is kernel-
         # tune-agnostic; the default multilit tune's interpret-mode trace
