@@ -40,6 +40,37 @@ def initialize(coordinator: str | None = None, num_processes: int | None = None,
     )
 
 
+_barrier_n = [0]
+
+
+def _sync_barrier(tag: str, timeout_ms: int = 600_000) -> None:
+    """Coordination-service barrier (NOT a Gloo collective).
+
+    Gloo context init has a hard 30 s key-value rendezvous timeout; any
+    compile- or execution-time skew above that between processes kills
+    the first collective touching a new communicator clique (observed:
+    the interpret-mode decode kernel's XLA-CPU compile/run skew on a
+    loaded 2-core host).  Lining processes up at the coordination
+    service — which tolerates long waits — immediately before each
+    collective section keeps the Gloo-visible skew at microseconds.
+    No-op single-process or when the distributed client is absent.
+    Callers must invoke this in the same order on every process (SPMD);
+    the counter keeps barrier ids unique per use.
+    """
+    try:
+        import jax
+        if jax.process_count() <= 1:
+            return
+        from jax._src import distributed as _dist
+        client = _dist.global_state.client
+        if client is None:
+            return
+        _barrier_n[0] += 1
+        client.wait_at_barrier(f"lzt_{tag}_{_barrier_n[0]}", timeout_ms)
+    except Exception:
+        return
+
+
 def global_lane_mesh(axis: str = "dp"):
     """Mesh over ALL processes' devices (dp spans hosts)."""
     import jax
@@ -111,6 +142,11 @@ def decode_groups_distributed(stream: bytes, *, dict_prop: int,
             packed, status = P.submit_groups_sharded(
                 src, pe, ue, fl, act, dic_cap=dic_cap, mesh=mesh,
                 lc=key[0], lp=key[1], pb=key[2], interpret=interpret)
+            # Finish the local shard's kernel work, then line up at the
+            # coordination barrier so the allgather's Gloo rendezvous
+            # sees near-zero skew (its 30 s init timeout is hard).
+            jax.block_until_ready((packed, status))
+            _sync_barrier("dec_gather")
             packed = np.asarray(
                 multihost_utils.process_allgather(packed, tiled=True))
             status = np.asarray(
@@ -187,6 +223,7 @@ def encode_groups_distributed(data: bytes, *, dict_size: int,
     for j, bi in enumerate(mine):
         lens[bi] = len(parts[j])
     if nproc > 1:
+        _sync_barrier("enc_gather")
         lens = np.asarray(
             multihost_utils.process_allgather(lens, tiled=False)).sum(0)
     cap = int(lens.max())
